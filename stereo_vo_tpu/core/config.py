@@ -1,0 +1,163 @@
+"""Typed configuration tree.
+
+Single source of truth for *every* constant that is hard-coded in the reference
+(SURVEY.md §5 "Config / flag system" row), plus the 9 per-camera YAML configs
+ported verbatim in meaning (reference ``config/*.yaml``).
+
+All dataclasses are frozen (hashable) so a ``PipelineConfig`` can be closed over
+by jitted functions as a static value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import yaml
+
+from stereo_vo_tpu.core.camera import CameraInfo
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Detection / tracking / PnP / triangulation constants."""
+
+    # Shi-Tomasi detection (reference image_processor.cpp:22, vo_node.cpp:34)
+    max_detect: int = 300
+    quality_level: float = 0.1
+    min_distance: float = 30.0
+    min_detected: int = 4          # bail threshold (image_processor.cpp:23-25)
+    detect_block_size: int = 3     # cv::goodFeaturesToTrack default
+    # candidate pool fed to greedy min-distance suppression
+    nms_candidates: int = 1024
+
+    # Keyframe gate (vo_node.cpp:33, image_processor.cpp:63-65)
+    parallax_thresh: float = 20.0
+    lost_thresh: float = 0.4
+
+    # Pyramidal LK (feature_tracker.cpp:23-26,47,53)
+    lk_window: int = 21
+    lk_max_level: int = 3
+    lk_iters: int = 30
+    lk_eps: float = 0.01
+    lk_min_eig: float = 1e-2
+    fb_thresh: float = 2.0         # forward-backward round-trip gate, px
+    max_parallax: float = 200.0    # reject absurd tracks (feature_tracker.cpp:53)
+
+    # StereoBM (image_processor.cpp:173-176; OpenCV defaults for the rest)
+    bm_num_disparities: int = 48
+    bm_block_size: int = 21
+    bm_prefilter_cap: int = 31
+    bm_texture_threshold: int = 10
+    bm_uniqueness_ratio: int = 15
+
+    # PnP-RANSAC (image_processor.cpp:76-80)
+    pnp_iterations: int = 100
+    pnp_reproj_thresh: float = 8.0
+    pnp_confidence: float = 0.99
+    pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
+    pnp_refine_iters: int = 10     # GN refinement on inliers
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Sliding-window bundle-adjustment constants."""
+
+    window_size: int = 5           # vo_node.cpp:36
+    max_features: int = 400        # per-keyframe observation cap (bundle_adjuster.hpp:75)
+    feature_capacity: int = 512    # static per-keyframe feature-array capacity (>= max_features)
+    landmark_capacity: int = 2048  # static landmark-table capacity (>= window*max_features)
+    # Ceres budget is 0.1 s wall-clock (bundle_adjuster.cpp:11); on TPU the solve is
+    # a fixed iteration count tuned to land at equivalent accuracy.
+    max_lm_iters: int = 12
+    init_damping: float = 1e-4
+    min_damping: float = 1e-10
+    max_damping: float = 1e8
+    min_depth: float = 1e-3        # cheirality guard for residual masking
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Host driver constants (vo_node.cpp:124,139; kitti_node.cpp:46)."""
+
+    drop_time: float = 0.05        # min inter-frame interval
+    loop_hz: float = 20.0
+    replay_hz: float = 11.0
+    image_queue_size: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraInfo
+    frontend: FrontendConfig = FrontendConfig()
+    backend: BackendConfig = BackendConfig()
+    runtime: RuntimeConfig = RuntimeConfig()
+    # Transport metadata carried for parity with the camera YAMLs.
+    left_topic: str = "/leftImage"
+    right_topic: str = "/rightImage"
+    frame_rate: float = 11.0       # read-but-unused in the reference (vo_node.cpp:98)
+    name: str = "custom"
+
+
+def _apply_overrides(cfg, overrides: dict):
+    """Apply a flat/nested dict of overrides onto a frozen dataclass tree."""
+    if not overrides:
+        return cfg
+    updates = {}
+    for key, val in overrides.items():
+        cur = getattr(cfg, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            updates[key] = _apply_overrides(cur, val)
+        else:
+            updates[key] = val
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_config(name_or_path: str, overrides: Optional[dict] = None) -> PipelineConfig:
+    """Load a camera YAML (by bundled name, e.g. ``"kitti00"``, or by path).
+
+    The YAML schema matches the reference's rosparam keys
+    (``focal_length cx cy baseline left_topic right_topic frame_rate``,
+    ``vo_node.cpp:92-98``) with optional ``frontend:/backend:/runtime:`` override
+    sections.
+    """
+    path = name_or_path
+    if not os.path.exists(path):
+        path = os.path.join(CONFIG_DIR, name_or_path + ".yaml")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no config named {name_or_path!r}; bundled: {sorted(available_configs())}"
+        )
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    cam = CameraInfo(
+        focal=float(raw["focal_length"]),
+        cx=float(raw["cx"]),
+        cy=float(raw["cy"]),
+        baseline=float(raw["baseline"]),
+        k1=float(raw.get("k1", 0.0)),
+        k2=float(raw.get("k2", 0.0)),
+        p1=float(raw.get("p1", 0.0)),
+        p2=float(raw.get("p2", 0.0)),
+    )
+    cfg = PipelineConfig(
+        camera=cam,
+        left_topic=str(raw.get("left_topic", "/leftImage")),
+        right_topic=str(raw.get("right_topic", "/rightImage")),
+        frame_rate=float(raw.get("frame_rate", 11.0)),
+        name=os.path.splitext(os.path.basename(path))[0],
+    )
+    for section in ("frontend", "backend", "runtime"):
+        if section in raw:
+            cfg = _apply_overrides(cfg, {section: raw[section]})
+    if overrides:
+        cfg = _apply_overrides(cfg, overrides)
+    return cfg
+
+
+def available_configs():
+    return [os.path.splitext(f)[0] for f in os.listdir(CONFIG_DIR) if f.endswith(".yaml")]
