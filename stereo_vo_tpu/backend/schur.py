@@ -1,0 +1,257 @@
+"""Schur-complement Levenberg-Marquardt bundle adjustment.
+
+TPU-native replacement for the reference's Ceres solve
+(``bundle_adjuster.cpp:8-12,137-157``: DENSE_SCHUR, LM trust region, SE(3) as
+Quaternion ⊗ Identity(3) product manifold, oldest pose held constant as gauge).
+
+Design (SURVEY.md §2 C5 "TPU plan"):
+- Fixed-shape residual tensor ``[W, F, 2]`` with validity masks — one fused XLA
+  evaluation of every residual + analytic Jacobian per iteration (the reference
+  evaluates per-block C++ callbacks inside Ceres).
+- Landmarks eliminated by the Schur complement in closed form: per-landmark
+  3x3 blocks inverted analytically, the reduced camera system is a dense
+  ``[W*6, W*6]`` solve (W=5 -> 30x30 — tiny; the scaling axis for large windows
+  is landmark-block parallelism, see ``stereo_vo_tpu/parallel``).
+- The wall-clock budget of the reference (0.1 s, ``bundle_adjuster.cpp:11``)
+  becomes a fixed LM iteration count (``cfg.max_lm_iters``) so the whole solve
+  is one compiled ``lax.scan`` with accept/reject damping logic inside.
+
+The pose tangent is ``[δθ(3), δt(3)]`` via the quaternion exponential chart —
+the same product manifold as the reference — and the ambient 2x7 Jacobian is
+folded to 2x6 through the lift matrix.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_vo_tpu.core.camera import CameraInfo
+from stereo_vo_tpu.core.config import BackendConfig
+from stereo_vo_tpu.core.geometry import pose_retract, quat_lift_jacobian
+from stereo_vo_tpu.backend.residuals import reprojection_jacobians, reprojection_residual
+from stereo_vo_tpu.backend.window import WindowState
+
+
+class BASolveStats(NamedTuple):
+    initial_cost: jnp.ndarray   # [] sum of squared residuals before the solve
+    final_cost: jnp.ndarray     # [] after
+    iterations: jnp.ndarray     # [] accepted LM steps
+    converged: jnp.ndarray      # [] bool — relative cost decrease below tol
+
+
+def _inv3x3(m: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Batched closed-form (adjugate) inverse of ``[..., 3, 3]`` SPD blocks."""
+    m = m + eps * jnp.eye(3, dtype=m.dtype)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            co_a, -(b * i - c * h), b * f - c * e,
+            co_b, a * i - c * g, -(a * f - c * d),
+            co_c, -(a * h - b * g), a * e - b * d,
+        ],
+        axis=-1,
+    ).reshape(m.shape)
+    return adj * inv_det[..., None, None]
+
+
+def _masked_system(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth):
+    """Residuals, tangent Jacobians and the observation mask for the window.
+
+    A residual is active iff its observation is valid, its pose is valid, its
+    landmark is live, and the point is in front of the camera (cheirality —
+    Ceres would happily evaluate z<=0 blocks; masking them is a deliberate
+    robustness fix, flagged in BackendConfig.min_depth).
+    """
+    w, f = window.obs_valid.shape
+    pose_b = jnp.broadcast_to(poses[:, None, :], (w, f, 7))
+    pts = lm_pos[window.obs_lm]                       # [W, F, 3]
+    r, jp7, jl = reprojection_jacobians(pose_b, pts, window.obs_uv, cam)
+
+    # depth of each point in its camera (recompute cheaply from the residual
+    # internals would need plumbing; one fused extra op is fine)
+    from stereo_vo_tpu.core.geometry import pose_q, pose_t, rot_apply
+
+    z = (rot_apply(pose_q(pose_b), pts) + pose_t(pose_b))[..., 2]
+    mask = (
+        window.obs_valid
+        & window.pose_valid[:, None]
+        & window.lm_valid[window.obs_lm]
+        & (z > min_depth)
+    )
+    # NaN-safe masking: invalid/degenerate observations can produce inf/nan
+    # residuals (z ~ 0), so select rather than multiply.
+    r = jnp.where(mask[..., None], r, 0.0)
+
+    # Fold 2x7 ambient pose Jacobian to 2x6 tangent via the lift matrix.
+    lift = quat_lift_jacobian(poses[:, 0:4])          # [W, 4, 3]
+    jq = jnp.einsum("wfij,wjk->wfik", jp7[..., 0:4], lift)
+    jp6 = jnp.concatenate([jq, jp7[..., 4:7]], axis=-1)
+    jp6 = jnp.where(mask[..., None, None], jp6, 0.0)
+    jl = jnp.where(mask[..., None, None], jl, 0.0)
+    return r, jp6, jl, mask
+
+
+def _cost(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth):
+    w, f = window.obs_valid.shape
+    pose_b = jnp.broadcast_to(poses[:, None, :], (w, f, 7))
+    pts = lm_pos[window.obs_lm]
+    r = reprojection_residual(pose_b, pts, window.obs_uv, cam)
+    from stereo_vo_tpu.core.geometry import pose_q, pose_t, rot_apply
+
+    z = (rot_apply(pose_q(pose_b), pts) + pose_t(pose_b))[..., 2]
+    mask = (
+        window.obs_valid
+        & window.pose_valid[:, None]
+        & window.lm_valid[window.obs_lm]
+        & (z > min_depth)
+    )
+    r = jnp.where(mask[..., None], r, 0.0)
+    return 0.5 * jnp.sum(r * r)
+
+
+def lm_step(
+    poses, lm_pos, lam, window: WindowState, cam: CameraInfo, cfg: BackendConfig
+):
+    """One damped Gauss-Newton step with landmark Schur elimination.
+
+    Returns candidate ``(poses', lm_pos')`` — accept/reject happens in the LM
+    outer loop.
+    """
+    wsz = window.window_size
+    lcap = window.landmark_capacity
+    dtype = poses.dtype
+
+    r, jp, jl, mask = _masked_system(poses, lm_pos, window, cam, cfg.min_depth)
+
+    # Per-pose blocks: U [W,6,6], g_p [W,6]
+    u_blocks = jnp.einsum("wfri,wfrj->wij", jp, jp)
+    g_p = -jnp.einsum("wfri,wfr->wi", jp, r)
+
+    # Per-landmark blocks scattered by obs_lm: V [L,3,3], g_l [L,3],
+    # and pose-landmark coupling Wl [L,W,6,3] (each (pose, landmark) pair has
+    # at most one observation, so per-observation scatter is exact).
+    v_obs = jnp.einsum("wfri,wfrj->wfij", jl, jl)
+    g_l_obs = -jnp.einsum("wfri,wfr->wfi", jl, r)
+    w_obs = jnp.einsum("wfri,wfrj->wfij", jp, jl)   # [W,F,6,3]
+
+    lm_idx = jnp.where(mask, window.obs_lm, lcap)   # dump masked obs past the end
+    v = jnp.zeros((lcap + 1, 3, 3), dtype).at[lm_idx.reshape(-1)].add(
+        v_obs.reshape(-1, 3, 3)
+    )[:lcap]
+    g_l = jnp.zeros((lcap + 1, 3), dtype).at[lm_idx.reshape(-1)].add(
+        g_l_obs.reshape(-1, 3)
+    )[:lcap]
+
+    w_idx = jnp.broadcast_to(
+        jnp.arange(wsz, dtype=jnp.int32)[:, None], lm_idx.shape
+    )
+    wl = jnp.zeros((lcap + 1, wsz, 6, 3), dtype).at[
+        lm_idx.reshape(-1), w_idx.reshape(-1)
+    ].add(w_obs.reshape(-1, 6, 3))[:lcap]
+
+    # LM damping: augment diagonals (diag-scaled, Ceres-style trust region).
+    def damp(m):
+        dd = lam * jnp.clip(jnp.diagonal(m, axis1=-2, axis2=-1), 1e-8, 1e32)
+        return m + jnp.eye(m.shape[-1], dtype=dtype) * dd[..., None, :]
+
+    u_d = damp(u_blocks)
+    v_d = damp(v)
+
+    lm_active = window.lm_valid & (jnp.einsum("lii->l", v) > 0)
+    v_inv = _inv3x3(v_d, eps=1e-6)
+    v_inv = jnp.where(lm_active[:, None, None], v_inv, 0.0)
+
+    # Reduced camera system S [W,6,W,6] and rhs [W,6].
+    wv = jnp.einsum("lwab,lbc->lwac", wl, v_inv)            # [L,W,6,3]
+    s = -jnp.einsum("lwac,lvdc->wavd", wv, wl)              # - W V^-1 W^T
+    s = s + jnp.einsum("wv,wab->wavb", jnp.eye(wsz, dtype=dtype), u_d)
+    rhs = g_p - jnp.einsum("lwac,lc->wa", wv, g_l)
+
+    # Gauge fixing: hold the oldest valid pose (chronological index 0) constant
+    # (bundle_adjuster.cpp:130); invalid poses are fixed too.
+    free = window.pose_valid & (jnp.arange(wsz) > 0)
+    fm = free.astype(dtype)
+    s = s * fm[:, None, None, None] * fm[None, None, :, None]
+    s = s + jnp.einsum(
+        "wv,ab->wavb", jnp.diag(1.0 - fm), jnp.eye(6, dtype=dtype)
+    )
+    rhs = rhs * fm[:, None]
+
+    n = wsz * 6
+    delta_p = jnp.linalg.solve(
+        s.reshape(n, n) + 1e-10 * jnp.eye(n, dtype=dtype), rhs.reshape(n)
+    ).reshape(wsz, 6)
+    delta_p = delta_p * fm[:, None]
+
+    # Landmark back-substitution: δl = V^-1 (g_l - W^T δp).
+    wtdp = jnp.einsum("lwab,wa->lb", wl, delta_p)
+    delta_l = jnp.einsum("lbc,lc->lb", v_inv, g_l - wtdp)
+    delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+
+    new_poses = pose_retract(poses, delta_p)
+    new_poses = jnp.where(free[:, None], new_poses, poses)
+    new_lm = lm_pos + delta_l
+    return new_poses, new_lm
+
+
+def bundle_adjust(
+    window: WindowState,
+    cam: CameraInfo,
+    cfg: BackendConfig,
+    rel_tol: float = 1e-6,
+) -> Tuple[WindowState, BASolveStats]:
+    """Solve the sliding-window BA problem (``BundleAdjuster::bundle_adjust``).
+
+    Runs ``cfg.max_lm_iters`` LM iterations as one ``lax.scan`` with
+    accept/reject damping (reject keeps the previous iterate and raises λ).
+    Writes optimized poses *and* landmarks back into the window state — like
+    Ceres, which optimizes parameter blocks in place (the reference then
+    re-publishes only the newest pose; see ``engine``).
+    """
+    poses0 = window.poses
+    lm0 = window.lm_pos
+    cost0 = _cost(poses0, lm0, window, cam, cfg.min_depth)
+
+    def body(carry, _):
+        poses, lm_pos, lam, cost, accepted = carry
+        cand_poses, cand_lm = lm_step(poses, lm_pos, lam, window, cam, cfg)
+        cand_cost = _cost(cand_poses, cand_lm, window, cam, cfg.min_depth)
+        ok = (cand_cost < cost) & jnp.isfinite(cand_cost)
+        poses = jnp.where(ok, cand_poses, poses)
+        lm_pos = jnp.where(ok, cand_lm, lm_pos)
+        cost_new = jnp.where(ok, cand_cost, cost)
+        lam = jnp.clip(
+            jnp.where(ok, lam / 3.0, lam * 4.0), cfg.min_damping, cfg.max_damping
+        )
+        rel = jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-20)
+        return (poses, lm_pos, lam, cost_new, accepted + ok.astype(jnp.int32)), rel
+
+    init = (
+        poses0,
+        lm0,
+        jnp.asarray(cfg.init_damping, poses0.dtype),
+        cost0,
+        jnp.array(0, jnp.int32),
+    )
+    (poses, lm_pos, _, cost, accepted), rels = jax.lax.scan(
+        body, init, None, length=cfg.max_lm_iters
+    )
+
+    new_window = window._replace(poses=poses, lm_pos=lm_pos)
+    stats = BASolveStats(
+        initial_cost=cost0,
+        final_cost=cost,
+        iterations=accepted,
+        converged=rels[-1] < rel_tol,
+    )
+    return new_window, stats

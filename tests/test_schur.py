@@ -1,0 +1,181 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_vo_tpu.backend.schur import bundle_adjust, lm_step, _masked_system
+from stereo_vo_tpu.backend.window import WindowState, empty_window
+from stereo_vo_tpu.core.camera import CameraInfo
+from stereo_vo_tpu.core.config import BackendConfig
+from stereo_vo_tpu.core import geometry as geo
+
+CAM = CameraInfo(focal=500.0, cx=320.0, cy=240.0, baseline=0.5)
+
+
+def make_problem(rng, w=4, n_lm=40, f_cap=64, l_cap=64, noise_px=0.0):
+    """Synthetic BA problem: camera moving in +x, landmarks ahead, full visibility."""
+    cfg = BackendConfig(
+        window_size=w, max_features=f_cap, feature_capacity=f_cap,
+        landmark_capacity=l_cap, max_lm_iters=20,
+    )
+    lm_gt = np.concatenate(
+        [
+            rng.uniform(-5, 5, size=(n_lm, 1)),
+            rng.uniform(-3, 3, size=(n_lm, 1)),
+            rng.uniform(8, 25, size=(n_lm, 1)),
+        ],
+        axis=1,
+    )
+    poses_gt = []
+    for i in range(w):
+        # T_cw: camera at x = 0.3 i with slight rotation
+        aa = np.array([0.01, 0.02, 0.005]) * i
+        q = geo.axis_angle_to_quat(jnp.asarray(aa, jnp.float64))
+        t_wc = np.array([0.3 * i, 0.01 * i, 0.05 * i])
+        # T_cw = inverse of (R_wc, t_wc): q_cw = conj(q_wc), t_cw = -R_cw t_wc
+        q_cw = geo.quat_conj(q)
+        t_cw = -np.asarray(geo.rot_apply(q_cw, jnp.asarray(t_wc)))
+        poses_gt.append(np.concatenate([np.asarray(q_cw), t_cw]))
+    poses_gt = np.stack(poses_gt)
+
+    obs = np.zeros((w, f_cap, 2), np.float64)
+    obs_lm = np.zeros((w, f_cap), np.int32)
+    obs_valid = np.zeros((w, f_cap), bool)
+    for i in range(w):
+        p_cam = np.asarray(
+            geo.pose_apply(jnp.asarray(poses_gt[i])[None], jnp.asarray(lm_gt))
+        )
+        uv = np.asarray(CAM.project(jnp.asarray(p_cam)))
+        obs[i, :n_lm] = uv + rng.normal(size=(n_lm, 2)) * noise_px
+        obs_lm[i, :n_lm] = np.arange(n_lm)
+        obs_valid[i, :n_lm] = True
+
+    lm_pos = np.zeros((l_cap, 3))
+    lm_pos[:n_lm] = lm_gt
+    window = WindowState(
+        poses=jnp.asarray(poses_gt, jnp.float32),
+        pose_valid=jnp.ones(w, bool),
+        obs_uv=jnp.asarray(obs, jnp.float32),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_valid=jnp.asarray(obs_valid),
+        lm_pos=jnp.asarray(lm_pos, jnp.float32),
+        lm_refcount=jnp.asarray(
+            np.where(np.arange(l_cap) < n_lm, w, 0), jnp.int32
+        ),
+        lm_valid=jnp.asarray(np.arange(l_cap) < n_lm),
+        num_kf=jnp.array(w, jnp.int32),
+    )
+    return cfg, window, poses_gt, lm_gt
+
+
+def perturb(window, rng, pose_scale=0.02, lm_scale=0.1):
+    """Perturb all poses except the gauge pose (index 0) and all landmarks."""
+    w = window.window_size
+    dp = rng.normal(size=(w, 6)) * pose_scale
+    dp[0] = 0
+    poses = geo.pose_retract(window.poses, jnp.asarray(dp, jnp.float32))
+    dl = rng.normal(size=window.lm_pos.shape) * lm_scale
+    lm = window.lm_pos + jnp.asarray(dl, jnp.float32) * window.lm_valid[:, None]
+    return window._replace(poses=poses, lm_pos=lm)
+
+
+def test_converges_to_ground_truth(rng):
+    cfg, window_gt, poses_gt, lm_gt = make_problem(rng)
+    window = perturb(window_gt, rng)
+    solved, stats = jax.jit(
+        lambda win: bundle_adjust(win, CAM, cfg), static_argnames=()
+    )(window)
+    assert float(stats.final_cost) < 1e-3 * float(stats.initial_cost)
+    # gauge pose fixed at index 0 -> solution matches GT, not just up to gauge
+    np.testing.assert_allclose(
+        np.asarray(solved.poses[:, 4:]), poses_gt[:, 4:], atol=5e-3
+    )
+    # quaternions up to sign/normalization
+    for i in range(window_gt.window_size):
+        q = np.asarray(geo.quat_normalize(solved.poses[i, :4]))
+        qg = poses_gt[i, :4]
+        assert min(np.abs(q - qg).max(), np.abs(q + qg).max()) < 2e-3
+    # landmark depth accuracy is limited by the f32 residual floor (~0.05 px at
+    # 25 m depth); 10 cm at these depths is below that floor
+    lm_err = np.abs(np.asarray(solved.lm_pos) - np.vstack([lm_gt, np.zeros((24, 3))]))
+    assert lm_err[np.asarray(window_gt.lm_valid)].max() < 0.1
+
+
+def test_noisy_problem_reduces_cost_monotonically(rng):
+    cfg, window_gt, *_ = make_problem(rng, noise_px=0.5)
+    window = perturb(window_gt, rng)
+    solved, stats = bundle_adjust(window, CAM, cfg)
+    assert float(stats.final_cost) < float(stats.initial_cost)
+    assert int(stats.iterations) >= 1
+    # With only the oldest pose fixed, overall scale is a weakly-constrained
+    # gauge mode (same freedom Ceres has in the reference's monocular-residual
+    # BA) — compare translations up to a fitted scale.
+    t_sol = np.asarray(solved.poses[:, 4:])
+    t_gt = np.asarray(window_gt.poses[:, 4:])
+    scale = float(np.sum(t_sol * t_gt) / max(np.sum(t_sol * t_sol), 1e-12))
+    np.testing.assert_allclose(scale * t_sol, t_gt, atol=5e-2)
+
+
+def test_schur_step_equals_dense_normal_equations(rng):
+    """The Schur-eliminated camera system must produce the same step as directly
+    solving the full (6W + 3L) damped normal equations (SURVEY.md §7 hard part 6)."""
+    with jax.enable_x64(True):
+        cfg, window_gt, *_ = make_problem(rng, w=3, n_lm=12, f_cap=16, l_cap=16)
+        window = perturb(window_gt, rng)
+        window = jax.tree.map(
+            lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x, window
+        )
+        lam = 1e-3
+        poses, lm_pos = window.poses, window.lm_pos
+
+        cand_poses, cand_lm = lm_step(poses, lm_pos, lam, window, CAM, cfg)
+
+        # Dense reference solve in numpy
+        r, jp, jl, mask = _masked_system(poses, lm_pos, window, CAM, cfg.min_depth)
+        w, f = mask.shape
+        n_lm = 12
+        npose, nlm = w * 6, n_lm * 3
+        big_j = np.zeros((w * f * 2, npose + nlm))
+        big_r = np.zeros(w * f * 2)
+        k = 0
+        for i in range(w):
+            for j in range(f):
+                if not bool(mask[i, j]):
+                    continue
+                big_j[2 * k : 2 * k + 2, 6 * i : 6 * i + 6] = np.asarray(jp[i, j])
+                l_id = int(window.obs_lm[i, j])
+                big_j[2 * k : 2 * k + 2, npose + 3 * l_id : npose + 3 * l_id + 3] = (
+                    np.asarray(jl[i, j])
+                )
+                big_r[2 * k : 2 * k + 2] = np.asarray(r[i, j])
+                k += 1
+        big_j = big_j[: 2 * k]
+        big_r = big_r[: 2 * k]
+        h = big_j.T @ big_j
+        h_damped = h + lam * np.clip(np.diag(h), 1e-8, None) * np.eye(h.shape[0])
+        g = -big_j.T @ big_r
+        # gauge: remove pose-0 columns
+        keep = np.ones(npose + nlm, bool)
+        keep[:6] = False
+        delta = np.zeros(npose + nlm)
+        delta[keep] = np.linalg.solve(h_damped[np.ix_(keep, keep)], g[keep])
+
+        dp_dense = delta[:npose].reshape(w, 6)
+        dl_dense = delta[npose:].reshape(n_lm, 3)
+
+        exp_poses = np.asarray(geo.pose_retract(poses, jnp.asarray(dp_dense)))
+        np.testing.assert_allclose(np.asarray(cand_poses), exp_poses, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(cand_lm[:n_lm]), np.asarray(lm_pos[:n_lm]) + dl_dense,
+            rtol=1e-6, atol=1e-9,
+        )
+
+
+def test_invalid_window_is_noop():
+    cfg = BackendConfig(window_size=3, max_features=8, feature_capacity=8,
+                        landmark_capacity=16, max_lm_iters=3)
+    window = empty_window(cfg)
+    solved, stats = bundle_adjust(window, CAM, cfg)
+    assert float(stats.initial_cost) == 0.0
+    assert float(stats.final_cost) == 0.0
+    assert bool(jnp.all(jnp.isfinite(solved.poses)))
+    assert bool(jnp.all(jnp.isfinite(solved.lm_pos)))
