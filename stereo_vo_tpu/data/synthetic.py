@@ -1,0 +1,243 @@
+"""Synthetic stereo world: geometrically consistent rendered sequences.
+
+The reference validates only by eyeballing rviz on KITTI (SURVEY.md §4); this
+module is the foundation of the real test pyramid: a known trajectory + known
+3D landmarks rendered into stereo pairs, so the frontend kernels (detection,
+LK, StereoBM), PnP, triangulation and the full VO loop can be verified against
+exact ground truth — and the benchmark harness can run KITTI-sized frames on
+machines with no dataset.
+
+Rendering model (all geometry exact, no approximations):
+- A textured background **plane** at fixed world depth, sampled per-pixel via
+  the plane-ray intersection for each camera — so background optical flow and
+  stereo disparity are both geometrically consistent.
+- Sparse landmarks splatted as Gabor-like corner patches at their projected
+  (sub-pixel) locations in the left and right cameras; the right camera sits
+  at baseline b along +x of the left (KITTI rectified convention), giving each
+  landmark its exact disparity f*b/z.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from stereo_vo_tpu.core.camera import CameraInfo
+from stereo_vo_tpu.data.stream import StereoFrame
+
+
+def _smooth_noise(rng, h, w, octaves=4, amp=40.0):
+    """Band-limited random texture in roughly [-amp, amp]."""
+    tex = np.zeros((h, w), np.float32)
+    for o in range(octaves):
+        step = 2 ** (octaves - o + 2)
+        hh, ww = max(h // step, 2), max(w // step, 2)
+        coarse = rng.normal(size=(hh, ww)).astype(np.float32)
+        # bilinear upsample to full size
+        yi = np.linspace(0, hh - 1, h)
+        xi = np.linspace(0, ww - 1, w)
+        y0 = np.clip(yi.astype(int), 0, hh - 2)
+        x0 = np.clip(xi.astype(int), 0, ww - 2)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        up = (
+            coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+            + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+            + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+            + coarse[y0 + 1][:, x0 + 1] * fy * fx
+        )
+        tex += up * (amp / (2 ** o) / 2.0)
+    return tex
+
+
+@dataclasses.dataclass
+class SyntheticStereoSequence:
+    """Renderable synthetic sequence with exact ground truth."""
+
+    cam: CameraInfo
+    n_frames: int = 60
+    shape: Tuple[int, int] = (240, 320)      # (H, W)
+    n_points: int = 600
+    seed: int = 0
+    speed: float = 0.4                       # meters / frame along +z
+    yaw_rate: float = 0.002                  # radians / frame
+    patch_radius: int = 8
+    bg_margin: float = 30.0                  # background plane this far past the end
+    point_depth: Tuple[float, float] = (6.0, 30.0)
+    rate_hz: float = 11.0
+
+    def __post_init__(self):
+        import jax.numpy as jnp
+
+        from stereo_vo_tpu.core import geometry as geo
+
+        rng = np.random.default_rng(self.seed)
+        h, w = self.shape
+        f, cx, cy = self.cam.focal, self.cam.cx, self.cam.cy
+
+        # --- trajectory: forward motion with gentle yaw (KITTI-like)
+        poses_wc = []  # camera-to-world (R_wc, c_w)
+        pos = np.zeros(3)
+        yaw = 0.0
+        for i in range(self.n_frames):
+            r_wc = np.array(
+                [
+                    [np.cos(yaw), 0, np.sin(yaw)],
+                    [0, 1, 0],
+                    [-np.sin(yaw), 0, np.cos(yaw)],
+                ]
+            )
+            poses_wc.append((r_wc, pos.copy()))
+            pos = pos + r_wc @ np.array([0, 0, self.speed])
+            yaw += self.yaw_rate
+        self._poses_wc = poses_wc
+
+        # T_cw pose vectors (framework convention)
+        gt = []
+        for r_wc, c_w in poses_wc:
+            r_cw = r_wc.T
+            t_cw = -r_cw @ c_w
+            q_cw = np.asarray(
+                geo.rotmat_to_quat(jnp.asarray(r_cw, jnp.float32))
+            )
+            gt.append(np.concatenate([q_cw, t_cw]).astype(np.float32))
+        self.gt_poses = np.stack(gt)
+
+        # --- landmarks: sprinkled through the flight corridor
+        total_z = self.speed * self.n_frames + self.point_depth[1]
+        zs = rng.uniform(self.point_depth[0], total_z, size=self.n_points)
+        # lateral spread that roughly fills the FOV at each depth
+        half_w = (w / 2) / f
+        half_h = (h / 2) / f
+        xs = rng.uniform(-half_w * 1.4, half_w * 1.4, size=self.n_points) * zs
+        ys = rng.uniform(-half_h * 1.2, half_h * 1.2, size=self.n_points) * zs
+        self.points = np.stack([xs, ys, zs], axis=1).astype(np.float32)
+
+        # per-point corner pattern parameters
+        self._amp = rng.uniform(60, 120, size=self.n_points).astype(np.float32)
+        self._theta = rng.uniform(0, np.pi, size=self.n_points).astype(np.float32)
+        self._freq = rng.uniform(0.55, 0.95, size=self.n_points).astype(np.float32)
+        self._sign = rng.choice([-1.0, 1.0], size=self.n_points).astype(np.float32)
+
+        # background plane + texture
+        self._bg_z = total_z + self.bg_margin
+        self._tex = _smooth_noise(rng, 512, 512, amp=26.0)
+        self._tex_scale = 512 / (2 * half_w * 1.6 * self._bg_z)
+
+        # cached pixel grid
+        self._grid_u = np.arange(w, dtype=np.float32)[None, :] - cx
+        self._grid_v = np.arange(h, dtype=np.float32)[:, None] - cy
+
+    # ------------------------------------------------------------------
+    def _render_background(self, r_wc, c_w, baseline_offset=0.0):
+        """Sample the z = bg_z world plane through the given camera."""
+        h, w = self.shape
+        f = self.cam.focal
+        # camera center (right camera sits +baseline along camera x)
+        c = c_w + r_wc @ np.array([baseline_offset, 0.0, 0.0])
+        # ray directions in world frame for each pixel
+        du = self._grid_u / f  # [1, W]
+        dv = self._grid_v / f  # [H, 1]
+        # d_cam = [du, dv, 1]; d_world = R_wc @ d_cam
+        dxw = r_wc[0, 0] * du + r_wc[0, 1] * dv + r_wc[0, 2]
+        dyw = r_wc[1, 0] * du + r_wc[1, 1] * dv + r_wc[1, 2]
+        dzw = r_wc[2, 0] * du + r_wc[2, 1] * dv + r_wc[2, 2]
+        tparam = (self._bg_z - c[2]) / np.maximum(dzw, 1e-6)
+        xw = c[0] + tparam * dxw
+        yw = c[1] + tparam * dyw
+        # texture lookup (wrap, bilinear)
+        tu = xw * self._tex_scale * 512
+        tv = yw * self._tex_scale * 512
+        t0u = np.floor(tu).astype(np.int64)
+        t0v = np.floor(tv).astype(np.int64)
+        fu = (tu - t0u).astype(np.float32)
+        fv = (tv - t0v).astype(np.float32)
+        tex = self._tex
+        i0 = np.mod(t0v, 512)
+        i1 = np.mod(t0v + 1, 512)
+        j0 = np.mod(t0u, 512)
+        j1 = np.mod(t0u + 1, 512)
+        return (
+            tex[i0, j0] * (1 - fv) * (1 - fu)
+            + tex[i1, j0] * fv * (1 - fu)
+            + tex[i0, j1] * (1 - fv) * fu
+            + tex[i1, j1] * fv * fu
+        )
+
+    def _splat(self, img, u, v, amp, theta, freq, sign):
+        """Add a Gabor-checker corner patch centered at sub-pixel (u, v)."""
+        h, w = img.shape
+        r = self.patch_radius
+        iu, iv = int(np.floor(u)), int(np.floor(v))
+        if iu < -r or iv < -r or iu >= w + r or iv >= h + r:
+            return
+        y0, y1 = max(iv - r, 0), min(iv + r + 2, h)
+        x0, x1 = max(iu - r, 0), min(iu + r + 2, w)
+        if y0 >= y1 or x0 >= x1:
+            return
+        yy = np.arange(y0, y1, dtype=np.float32)[:, None] - v
+        xx = np.arange(x0, x1, dtype=np.float32)[None, :] - u
+        a = xx * np.cos(theta) + yy * np.sin(theta)
+        b = -xx * np.sin(theta) + yy * np.cos(theta)
+        env = np.exp(-(xx * xx + yy * yy) / (2 * (r * 0.55) ** 2))
+        patch = sign * amp * np.sin(freq * a) * np.sin(freq * b) * env
+        img[y0:y1, x0:x1] += patch
+
+    def render(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Render frame i -> (left, right) uint8 images."""
+        r_wc, c_w = self._poses_wc[i]
+        b = self.cam.baseline
+        f = self.cam.focal
+        h, w = self.shape
+
+        left = 128.0 + self._render_background(r_wc, c_w, 0.0)
+        right = 128.0 + self._render_background(r_wc, c_w, b)
+
+        # landmarks into left/right cameras
+        r_cw = r_wc.T
+        p_cam = (self.points - c_w) @ r_cw.T  # [N, 3] in left-cam frame
+        z = p_cam[:, 2]
+        vis = z > 2.0
+        u = f * p_cam[:, 0] / z + self.cam.cx
+        v = f * p_cam[:, 1] / z + self.cam.cy
+        disp = f * b / z
+        for k in np.nonzero(vis)[0]:
+            if -20 <= u[k] < w + 20 and -20 <= v[k] < h + 20:
+                self._splat(left, u[k], v[k], self._amp[k], self._theta[k],
+                            self._freq[k], self._sign[k])
+                self._splat(right, u[k] - disp[k], v[k], self._amp[k],
+                            self._theta[k], self._freq[k], self._sign[k])
+
+        return (
+            np.clip(left, 0, 255).astype(np.uint8),
+            np.clip(right, 0, 255).astype(np.uint8),
+        )
+
+    def projections(self, i: int):
+        """Ground-truth (u, v, disparity, visible) for every landmark in frame i."""
+        r_wc, c_w = self._poses_wc[i]
+        r_cw = r_wc.T
+        p_cam = (self.points - c_w) @ r_cw.T
+        z = p_cam[:, 2]
+        f = self.cam.focal
+        u = f * p_cam[:, 0] / np.maximum(z, 1e-6) + self.cam.cx
+        v = f * p_cam[:, 1] / np.maximum(z, 1e-6) + self.cam.cy
+        h, w = self.shape
+        vis = (z > 2.0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        return u, v, f * self.cam.baseline / np.maximum(z, 1e-6), vis
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def __iter__(self) -> Iterator[StereoFrame]:
+        for i in range(self.n_frames):
+            left, right = self.render(i)
+            yield StereoFrame(
+                left=left,
+                right=right,
+                stamp=i / self.rate_hz,
+                index=i,
+                gt_pose=self.gt_poses[i],
+            )
