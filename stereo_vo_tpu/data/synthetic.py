@@ -115,11 +115,20 @@ class SyntheticStereoSequence:
         ys = rng.uniform(-half_h * 1.2, half_h * 1.2, size=self.n_points) * zs
         self.points = np.stack([xs, ys, zs], axis=1).astype(np.float32)
 
-        # per-point corner pattern parameters
-        self._amp = rng.uniform(60, 120, size=self.n_points).astype(np.float32)
-        self._theta = rng.uniform(0, np.pi, size=self.n_points).astype(np.float32)
-        self._freq = rng.uniform(0.55, 0.95, size=self.n_points).astype(np.float32)
-        self._sign = rng.choice([-1.0, 1.0], size=self.n_points).astype(np.float32)
+        # per-point pattern: a unique band-limited random patch (distinctive,
+        # so tracking/matching is unambiguous), tapered by a Gaussian envelope.
+        r = self.patch_radius
+        side = 2 * r + 3  # +2 for bilinear sampling margin
+        raw = rng.normal(size=(self.n_points, side + 4, side + 4)).astype(np.float32)
+        g = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32)
+        g = g / g.sum()
+        sm = np.apply_along_axis(lambda m: np.convolve(m, g, mode="valid"), 1, raw)
+        sm = np.apply_along_axis(lambda m: np.convolve(m, g, mode="valid"), 2, sm)
+        yy = np.arange(side, dtype=np.float32)[None, :, None] - (side - 1) / 2
+        xx = np.arange(side, dtype=np.float32)[None, None, :] - (side - 1) / 2
+        env = np.exp(-(xx * xx + yy * yy) / (2 * (r * 0.6) ** 2))
+        amp = rng.uniform(250, 450, size=(self.n_points, 1, 1)).astype(np.float32)
+        self._patches = (sm * env * amp).astype(np.float32)  # [N, side, side]
 
         # background plane + texture
         self._bg_z = total_z + self.bg_margin
@@ -166,8 +175,8 @@ class SyntheticStereoSequence:
             + tex[i1, j1] * fv * fu
         )
 
-    def _splat(self, img, u, v, amp, theta, freq, sign):
-        """Add a Gabor-checker corner patch centered at sub-pixel (u, v)."""
+    def _splat(self, img, u, v, patch):
+        """Add landmark patch (bilinearly resampled) centered at sub-pixel (u, v)."""
         h, w = img.shape
         r = self.patch_radius
         iu, iv = int(np.floor(u)), int(np.floor(v))
@@ -177,13 +186,21 @@ class SyntheticStereoSequence:
         x0, x1 = max(iu - r, 0), min(iu + r + 2, w)
         if y0 >= y1 or x0 >= x1:
             return
-        yy = np.arange(y0, y1, dtype=np.float32)[:, None] - v
-        xx = np.arange(x0, x1, dtype=np.float32)[None, :] - u
-        a = xx * np.cos(theta) + yy * np.sin(theta)
-        b = -xx * np.sin(theta) + yy * np.cos(theta)
-        env = np.exp(-(xx * xx + yy * yy) / (2 * (r * 0.55) ** 2))
-        patch = sign * amp * np.sin(freq * a) * np.sin(freq * b) * env
-        img[y0:y1, x0:x1] += patch
+        # continuous patch coordinates of each target pixel
+        c = (patch.shape[0] - 1) / 2
+        py = np.arange(y0, y1, dtype=np.float32)[:, None] - v + c
+        px = np.arange(x0, x1, dtype=np.float32)[None, :] - u + c
+        py0 = np.clip(np.floor(py).astype(int), 0, patch.shape[0] - 2)
+        px0 = np.clip(np.floor(px).astype(int), 0, patch.shape[1] - 2)
+        fy = py - py0
+        fx = px - px0
+        val = (
+            patch[py0, px0] * (1 - fy) * (1 - fx)
+            + patch[py0, px0 + 1] * (1 - fy) * fx
+            + patch[py0 + 1, px0] * fy * (1 - fx)
+            + patch[py0 + 1, px0 + 1] * fy * fx
+        )
+        img[y0:y1, x0:x1] += val
 
     def render(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """Render frame i -> (left, right) uint8 images."""
@@ -205,10 +222,8 @@ class SyntheticStereoSequence:
         disp = f * b / z
         for k in np.nonzero(vis)[0]:
             if -20 <= u[k] < w + 20 and -20 <= v[k] < h + 20:
-                self._splat(left, u[k], v[k], self._amp[k], self._theta[k],
-                            self._freq[k], self._sign[k])
-                self._splat(right, u[k] - disp[k], v[k], self._amp[k],
-                            self._theta[k], self._freq[k], self._sign[k])
+                self._splat(left, u[k], v[k], self._patches[k])
+                self._splat(right, u[k] - disp[k], v[k], self._patches[k])
 
         return (
             np.clip(left, 0, 255).astype(np.uint8),

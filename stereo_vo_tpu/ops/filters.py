@@ -1,0 +1,108 @@
+"""Small separable image filters as fused XLA ops.
+
+Building blocks for the detection/tracking/stereo kernels. Border handling is
+reflect-101 (OpenCV's BORDER_DEFAULT) unless noted. Images are ``[H, W]``
+float32; everything vectorizes over leading batch dims via standard broadcasting
+of ``jnp.pad``/slicing, and XLA fuses the tap sums into a handful of VPU passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _pad(img: jnp.ndarray, ry: int, rx: int, mode: str = "reflect") -> jnp.ndarray:
+    pad = [(0, 0)] * (img.ndim - 2) + [(ry, ry), (rx, rx)]
+    if mode == "edge":
+        return jnp.pad(img, pad, mode="edge")
+    return jnp.pad(img, pad, mode="reflect")  # numpy reflect == OpenCV REFLECT_101
+
+
+def sep_filter(img: jnp.ndarray, ky, kx, mode: str = "reflect") -> jnp.ndarray:
+    """Separable 2D correlation with 1D taps ``ky`` (rows) then ``kx`` (cols)."""
+    ky = np.asarray(ky, np.float32)
+    kx = np.asarray(kx, np.float32)
+    ry, rx = len(ky) // 2, len(kx) // 2
+    p = _pad(img, ry, 0, mode)
+    h = img.shape[-2]
+    out = sum(
+        float(ky[i]) * p[..., i : i + h, :] for i in range(len(ky)) if ky[i] != 0
+    )
+    p = _pad(out, 0, rx, mode)
+    w = img.shape[-1]
+    return sum(
+        float(kx[i]) * p[..., :, i : i + w] for i in range(len(kx)) if kx[i] != 0
+    )
+
+
+def sobel_x(img: jnp.ndarray, mode: str = "reflect") -> jnp.ndarray:
+    """Sobel d/dx, ksize 3 (smooth [1,2,1] over rows, diff [-1,0,1] over cols)."""
+    return sep_filter(img, [1.0, 2.0, 1.0], [-1.0, 0.0, 1.0], mode)
+
+
+def sobel_y(img: jnp.ndarray, mode: str = "reflect") -> jnp.ndarray:
+    return sep_filter(img, [-1.0, 0.0, 1.0], [1.0, 2.0, 1.0], mode)
+
+
+def scharr_x(img: jnp.ndarray, mode: str = "reflect") -> jnp.ndarray:
+    """Scharr d/dx as used by OpenCV's LK spatial gradients (divided by 32)."""
+    return sep_filter(img, [3.0, 10.0, 3.0], [-1.0, 0.0, 1.0], mode) / 32.0
+
+
+def scharr_y(img: jnp.ndarray, mode: str = "reflect") -> jnp.ndarray:
+    return sep_filter(img, [-1.0, 0.0, 1.0], [3.0, 10.0, 3.0], mode) / 32.0
+
+
+def box_filter(img: jnp.ndarray, radius: int, mode: str = "reflect") -> jnp.ndarray:
+    """Unnormalized (2r+1)^2 box sum via 2D cumulative sums.
+
+    Two cumsum passes + four gathers regardless of radius — the right shape for
+    the 21x21 StereoBM windows where tap-sum filtering would be 42 passes.
+    """
+    k = 2 * radius + 1
+    p = _pad(img, radius, radius, mode)
+    # integral image with leading zero row/col
+    ii = jnp.cumsum(jnp.cumsum(p, axis=-2), axis=-1)
+    zshape_r = ii.shape[:-2] + (1, ii.shape[-1])
+    ii = jnp.concatenate([jnp.zeros(zshape_r, ii.dtype), ii], axis=-2)
+    zshape_c = ii.shape[:-1] + (1,)
+    ii = jnp.concatenate([jnp.zeros(zshape_c, ii.dtype), ii], axis=-1)
+    h, w = img.shape[-2:]
+    return (
+        ii[..., k : k + h, k : k + w]
+        - ii[..., 0:h, k : k + w]
+        - ii[..., k : k + h, 0:w]
+        + ii[..., 0:h, 0:w]
+    )
+
+
+def max_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(2r+1)^2 sliding max (separable, log-depth doubling)."""
+    out = img
+    # rows then cols; each direction via repeated shifts (log trick)
+    for axis in (-2, -1):
+        cur = out
+        acc = cur
+        shift = 1
+        remaining = radius
+        # running max over [-radius, +radius] with power-of-two doubling
+        while remaining > 0:
+            s = min(shift, remaining)
+            up = jnp.roll(acc, s, axis=axis)
+            dn = jnp.roll(acc, -s, axis=axis)
+            # roll wraps; mask wrapped region with -inf
+            idx = jnp.arange(out.shape[axis])
+            if axis == -2:
+                m_up = (idx >= s)[:, None]
+                m_dn = (idx < out.shape[axis] - s)[:, None]
+            else:
+                m_up = idx >= s
+                m_dn = idx < out.shape[axis] - s
+            neg = jnp.asarray(-jnp.inf, out.dtype)
+            acc = jnp.maximum(acc, jnp.where(m_up, up, neg))
+            acc = jnp.maximum(acc, jnp.where(m_dn, dn, neg))
+            remaining -= s
+            shift = s * 2
+        out = acc
+    return out

@@ -1,0 +1,109 @@
+"""Block-matching stereo disparity (cv::StereoBM equivalent).
+
+Replaces ``StereoBM::create(48, 21)`` + ``compute`` (reference
+``image_processor.cpp:173-176``) with a vectorized device kernel that keeps
+OpenCV's validity semantics so the same landmarks get triangulated:
+
+- XSobel prefilter clipped to ``[0, 2*prefilter_cap]`` (OpenCV default cap 31);
+- 21x21 SAD block match over ``num_disparities`` candidates (cumsum box sums,
+  vectorized over the disparity axis);
+- texture threshold: windows with too little |XSobel| energy are invalid;
+- uniqueness ratio: best SAD must beat every candidate outside ``d ± 1`` by
+  ``(1 + ratio/100)`` or the pixel is invalid;
+- sub-pixel refinement by parabola fit around the best disparity;
+- invalid pixels return -1.0 (the reference keeps features with ``disp > 0``,
+  ``image_processor.cpp:194``).
+
+The left image border of width ``num_disparities + radius`` cannot see a full
+search range and is handled by masking impossible shifts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stereo_vo_tpu.ops.filters import box_filter, sobel_x
+
+
+def _xsobel_prefilter(img: jnp.ndarray, cap: int) -> jnp.ndarray:
+    s = sobel_x(img.astype(jnp.float32), mode="reflect")
+    return jnp.clip(s + cap, 0.0, 2.0 * cap)
+
+
+def stereo_bm_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disparities: int = 48,
+    block_size: int = 21,
+    prefilter_cap: int = 31,
+    texture_threshold: int = 10,
+    uniqueness_ratio: int = 15,
+) -> jnp.ndarray:
+    """Dense float32 disparity of the left image; invalid pixels = -1.0."""
+    h, w = left.shape
+    radius = block_size // 2
+    cap = float(prefilter_cap)
+
+    lpre = _xsobel_prefilter(left, prefilter_cap)
+    rpre = _xsobel_prefilter(right, prefilter_cap)
+
+    # SAD cost volume [D, H, W]: right shifted by d, |diff| box-summed.
+    # Shift via jnp.roll + mask of the invalid left band (x - d < 0).
+    xs = jnp.arange(w)
+
+    def cost_for_d(d):
+        shifted = jnp.roll(rpre, d, axis=1)
+        diff = jnp.abs(lpre - shifted)
+        # columns x < d see wrapped data -> give them a huge diff
+        diff = jnp.where(xs[None, :] >= d, diff, 1e6)
+        return box_filter(diff, radius)
+
+    costs = jax.vmap(cost_for_d)(jnp.arange(num_disparities))  # [D, H, W]
+
+    best_d = jnp.argmin(costs, axis=0)                          # [H, W]
+    best_c = jnp.min(costs, axis=0)
+
+    # uniqueness: any candidate outside best±1 with cost <= best*(1+ratio/100)?
+    ds = jnp.arange(num_disparities)[:, None, None]
+    near = jnp.abs(ds - best_d[None]) <= 1
+    masked = jnp.where(near, jnp.inf, costs)
+    second = jnp.min(masked, axis=0)
+    unique_ok = second * 100.0 >= best_c * (100.0 + uniqueness_ratio)
+
+    # texture: window energy of |prefiltered - cap|
+    tex = box_filter(jnp.abs(lpre - cap), radius)
+    tex_ok = tex >= texture_threshold
+
+    # border: need full window + full search range
+    ys = jnp.arange(h)[:, None]
+    inside = (
+        (ys >= radius)
+        & (ys < h - radius)
+        & (xs[None, :] >= num_disparities + radius - 1)
+        & (xs[None, :] < w - radius)
+    )
+
+    # sub-pixel parabola around the minimum
+    d0 = jnp.clip(best_d, 1, num_disparities - 2)
+    c_m = jnp.take_along_axis(costs, (d0 - 1)[None], axis=0)[0]
+    c_0 = jnp.take_along_axis(costs, d0[None], axis=0)[0]
+    c_p = jnp.take_along_axis(costs, (d0 + 1)[None], axis=0)[0]
+    denom = jnp.maximum(c_m + c_p - 2.0 * c_0, 1e-9)
+    delta = jnp.clip((c_m - c_p) / (2.0 * denom), -0.5, 0.5)
+    disp = jnp.where(best_d == d0, best_d + delta, best_d.astype(jnp.float32))
+
+    valid = inside & unique_ok & tex_ok & (best_c < 1e5)
+    return jnp.where(valid, disp, -1.0).astype(jnp.float32)
+
+
+def disparity_at(
+    disparity: jnp.ndarray, xy: jnp.ndarray
+) -> jnp.ndarray:
+    """Disparity sampled at truncated-int feature coordinates — the exact
+    lookup the reference does (``image_processor.cpp:193``:
+    ``disparity.at<float>(it->y, it->x)`` with implicit float->int truncation)."""
+    h, w = disparity.shape
+    xi = jnp.clip(xy[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(xy[..., 1].astype(jnp.int32), 0, h - 1)
+    return disparity[yi, xi]
