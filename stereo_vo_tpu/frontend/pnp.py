@@ -1,0 +1,177 @@
+"""PnP-RANSAC: camera pose from 2D-3D correspondences, device-native.
+
+Replaces ``cv::solvePnPRansac(world, pixels, K, 0, rvec, tvec, true, 100, 8.0,
+0.99, inliers)`` (reference ``image_processor.cpp:76-80``) with a TPU-first
+design (SURVEY.md §7 hard part 5):
+
+- a **fixed** hypothesis count (the reference's 100 iterations; OpenCV's
+  0.99-confidence adaptive early exit always terminates at <= its iteration
+  cap — a fixed count is the jit-able superset);
+- hypothesis 0 is the warm start from the previous frame (the reference's
+  ``useExtrinsicGuess=true`` + persistent rvec/tvec, ``image_processor.hpp:57-60``);
+- minimal solver: 6-point DLT on K-normalized rays, orthogonalized via SVD —
+  batched over all hypotheses with one vmapped computation (instead of P3P's
+  quartic, which is numerically fragile in f32);
+- inlier = reprojection error < threshold (pixels) and positive depth;
+- winner refined by damped Gauss-Newton on its inliers (OpenCV refines with
+  ITERATIVE on the RANSAC inlier set); the reported inlier mask is the RANSAC
+  model's, pre-refinement — matching OpenCV's output contract.
+
+Deterministic: hypothesis sampling uses a counter-based key derived from the
+frame index, so replays are bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_vo_tpu.core.camera import CameraInfo
+from stereo_vo_tpu.core.config import FrontendConfig
+from stereo_vo_tpu.core.geometry import (
+    make_pose,
+    pose_apply,
+    pose_q,
+    pose_retract,
+    quat_lift_jacobian,
+    rotmat_to_quat,
+)
+from stereo_vo_tpu.backend.residuals import reprojection_jacobians
+
+
+class PnPResult(NamedTuple):
+    pose: jnp.ndarray        # [7] T_cw
+    inliers: jnp.ndarray     # [F] bool (of the RANSAC model)
+    num_inliers: jnp.ndarray  # []
+    ok: jnp.ndarray          # [] bool — enough inliers to trust the pose
+
+
+def _dlt_pose(p3: jnp.ndarray, xn: jnp.ndarray):
+    """6-point DLT: world points [6,3] + normalized image coords [6,2] -> (R, t, ok).
+
+    Solves for the 3x4 projection M up to scale via SVD null vector, then
+    orthogonalizes M[:, :3] and resolves the global sign by cheirality.
+    """
+    n = p3.shape[0]
+    zeros = jnp.zeros((n, 4), p3.dtype)
+    ph = jnp.concatenate([p3, jnp.ones((n, 1), p3.dtype)], axis=1)  # [6,4]
+    rows_x = jnp.concatenate([ph, zeros, -xn[:, 0:1] * ph], axis=1)
+    rows_y = jnp.concatenate([zeros, ph, -xn[:, 1:2] * ph], axis=1)
+    a = jnp.concatenate([rows_x, rows_y], axis=0)  # [12, 12]
+    # null vector = right singular vector of smallest singular value
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    m = vt[-1].reshape(3, 4)
+
+    def fix(mm):
+        r_tilde = mm[:, :3]
+        u, s, vvt = jnp.linalg.svd(r_tilde)
+        d = jnp.linalg.det(u @ vvt)
+        one = jnp.ones((), mm.dtype)
+        r = u @ jnp.diag(jnp.stack([one, one, d])) @ vvt
+        scale = (s[0] + s[1] + d * s[2]) / 3.0
+        t = mm[:, 3] / jnp.maximum(scale, 1e-12)
+        # positive depth count for cheirality
+        z = (p3 @ r.T + t)[:, 2]
+        return r, t, jnp.sum(z > 0), scale > 1e-9
+
+    r_a, t_a, npos_a, ok_a = fix(m)
+    r_b, t_b, npos_b, ok_b = fix(-m)
+    pick_a = npos_a >= npos_b
+    r = jnp.where(pick_a, r_a, r_b)
+    t = jnp.where(pick_a, t_a, t_b)
+    ok = jnp.where(pick_a, ok_a, ok_b)
+    return r, t, ok
+
+
+def _reproj_errors(pose: jnp.ndarray, p3: jnp.ndarray, uv: jnp.ndarray, cam: CameraInfo):
+    p_cam = pose_apply(pose[None, :], p3)
+    z = p_cam[:, 2]
+    safe_z = jnp.where(z > 1e-6, z, 1.0)
+    proj = p_cam[:, :2] / safe_z[:, None] * cam.focal + jnp.array(
+        [cam.cx, cam.cy], p3.dtype
+    )
+    err = jnp.linalg.norm(proj - uv, axis=1)
+    return jnp.where(z > 1e-6, err, jnp.inf)
+
+
+def _gn_refine(pose, p3, uv, weight, cam, iters: int):
+    """Damped Gauss-Newton on the weighted reprojection cost (pose only)."""
+
+    def body(pose, _):
+        r, jp7, _ = reprojection_jacobians(pose[None, :].repeat(p3.shape[0], 0), p3, uv, cam)
+        lift = quat_lift_jacobian(pose_q(pose))           # [4, 3]
+        jq = jnp.einsum("fij,jk->fik", jp7[..., 0:4], lift)
+        j6 = jnp.concatenate([jq, jp7[..., 4:7]], axis=-1)  # [F, 2, 6]
+        r = jnp.where(weight[:, None], r, 0.0)
+        j6 = jnp.where(weight[:, None, None], j6, 0.0)
+        r = jnp.nan_to_num(r)
+        j6 = jnp.nan_to_num(j6)
+        h = jnp.einsum("fri,frj->ij", j6, j6) + 1e-6 * jnp.eye(6, dtype=pose.dtype)
+        g = -jnp.einsum("fri,fr->i", j6, r)
+        delta = jnp.linalg.solve(h, g)
+        return pose_retract(pose, delta), None
+
+    pose, _ = jax.lax.scan(body, pose, None, length=iters)
+    return pose
+
+
+def pnp_ransac(
+    p3: jnp.ndarray,
+    uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam: CameraInfo,
+    prev_pose: jnp.ndarray,
+    seed: jnp.ndarray,
+    cfg: FrontendConfig,
+) -> PnPResult:
+    """Estimate T_cw from fixed-capacity correspondence arrays.
+
+    ``p3 [F, 3]`` world points, ``uv [F, 2]`` pixels, ``valid [F]`` mask,
+    ``prev_pose [7]`` warm start, ``seed`` int32 (e.g. frame index).
+    """
+    f_cap = p3.shape[0]
+    dtype = p3.dtype
+    n_hyp = cfg.pnp_iterations
+    k = cfg.pnp_sample_size
+
+    key = jax.random.PRNGKey(seed)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    probs = valid.astype(dtype) / jnp.maximum(n_valid, 1).astype(dtype)
+
+    # normalized coordinates for the DLT
+    xn = (uv - jnp.array([cam.cx, cam.cy], dtype)) / jnp.asarray(cam.focal, dtype)
+
+    def one_hypothesis(hkey):
+        idx = jax.random.choice(hkey, f_cap, shape=(k,), replace=False, p=probs)
+        r, t, ok = _dlt_pose(p3[idx], xn[idx])
+        q = rotmat_to_quat(r)
+        return make_pose(q, t.astype(dtype)), ok
+
+    keys = jax.random.split(key, n_hyp - 1)
+    hyp_poses, hyp_ok = jax.vmap(one_hypothesis)(keys)
+    # hypothesis 0: warm start
+    hyp_poses = jnp.concatenate([prev_pose[None, :], hyp_poses], axis=0)
+    hyp_ok = jnp.concatenate([jnp.array([True]), hyp_ok], axis=0)
+
+    errs = jax.vmap(lambda p: _reproj_errors(p, p3, uv, cam))(hyp_poses)  # [H, F]
+    inl = (errs < cfg.pnp_reproj_thresh) & valid[None, :]
+    counts = jnp.where(hyp_ok, jnp.sum(inl, axis=1), -1)
+    best = jnp.argmax(counts)  # first max wins: deterministic
+    best_pose = hyp_poses[best]
+    best_inl = inl[best]
+    n_inl = jnp.maximum(counts[best], 0)
+
+    refined = _gn_refine(best_pose, p3, uv, best_inl, cam, cfg.pnp_refine_iters)
+    # guard: keep refinement only if it didn't diverge
+    err_ref = _reproj_errors(refined, p3, uv, cam)
+    good_ref = jnp.isfinite(err_ref) | ~best_inl
+    improved = jnp.sum(jnp.where(best_inl, jnp.minimum(err_ref, 1e9), 0.0)) <= jnp.sum(
+        jnp.where(best_inl, jnp.minimum(errs[best], 1e9), 0.0)
+    )
+    final_pose = jnp.where(improved & jnp.all(jnp.isfinite(refined)), refined, best_pose)
+
+    ok = n_inl >= jnp.asarray(max(cfg.pnp_sample_size, 4), n_inl.dtype)
+    del good_ref
+    return PnPResult(pose=final_pose, inliers=best_inl, num_inliers=n_inl, ok=ok)
