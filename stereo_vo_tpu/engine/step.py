@@ -1,0 +1,366 @@
+"""The per-frame VO step: one compiled XLA program per frame.
+
+This is where the TPU boundary sits (SURVEY.md §3 "Where the TPU boundary will
+sit"): everything the reference does across ``ImageProcessor::process``
+(``image_processor.cpp:18-163``) and ``BundleAdjuster::bundle_adjust``
+(``bundle_adjuster.cpp:137-157``) — detection, tracking, the keyframe gate,
+PnP, triangulation, window update and the Schur-LM solve — runs as a single
+jitted function of the ``VOState`` pytree. The only host<->device traffic per
+frame: two grayscale images in, pose + scalar stats out.
+
+Control-flow mapping (reference -> XLA):
+- "fewer than 4 detections -> return"  (``image_processor.cpp:23-25``)
+  -> outer ``lax.cond`` skipping the whole frame;
+- keyframe gate "parallax <= 20 && lost < 0.4 -> return"
+  (``image_processor.cpp:63-65``) -> ``lax.cond`` around the keyframe branch
+  (both branches compiled once, one executed);
+- PnP degraded mode: the reference ignores ``solvePnPRansac`` failure
+  (SURVEY.md §5 "Failure detection"); here a failed PnP skips keyframe
+  creation and keeps tracking — a deliberate robustness fix, surfaced in the
+  per-frame ``StepOutput.pnp_ok`` flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_vo_tpu.backend.schur import BASolveStats, bundle_adjust
+from stereo_vo_tpu.backend.window import (
+    WindowState,
+    add_keyframe,
+    empty_window,
+    get_world_points,
+    newest_pose,
+)
+from stereo_vo_tpu.core.config import PipelineConfig
+from stereo_vo_tpu.core import geometry as geo
+from stereo_vo_tpu.frontend.detect import dedup_new_features, detect_features
+from stereo_vo_tpu.frontend.pnp import pnp_ransac
+from stereo_vo_tpu.frontend.track import TrackerState, TrackStats, track_step, tracker_init
+from stereo_vo_tpu.frontend.triangulate import triangulate_features
+from stereo_vo_tpu.ops.pyramid import build_pyramid
+from stereo_vo_tpu.ops.stereo_bm import stereo_bm_disparity
+
+
+class VOState(NamedTuple):
+    tracker: TrackerState
+    window: WindowState
+    pnp_pose: jnp.ndarray      # [7] PnP warm start (reference rvec/tvec members)
+    cur_pose: jnp.ndarray      # [7] latest published T_cw (BA-optimized)
+    frame_idx: jnp.ndarray     # [] int32
+    initialized: jnp.ndarray   # [] bool
+
+
+class StepOutput(NamedTuple):
+    pose_cw: jnp.ndarray       # [7] published pose (T_cw)
+    pose_wc: jnp.ndarray       # [7] inverted for the path (vo_node.cpp:149-150)
+    is_keyframe: jnp.ndarray
+    pnp_ok: jnp.ndarray
+    num_detected: jnp.ndarray
+    num_tracked: jnp.ndarray
+    num_inliers: jnp.ndarray
+    num_new_landmarks: jnp.ndarray
+    av_parallax: jnp.ndarray
+    percent_lost: jnp.ndarray
+    ba_initial_cost: jnp.ndarray
+    ba_final_cost: jnp.ndarray
+    ba_iterations: jnp.ndarray
+    # tracker snapshot for the /feature_tracking debug drawing
+    track_from: jnp.ndarray    # [F, 2]
+    track_to: jnp.ndarray      # [F, 2]
+    track_valid: jnp.ndarray   # [F]
+
+
+def _pad_to(arr: jnp.ndarray, n: int) -> jnp.ndarray:
+    if arr.shape[0] >= n:
+        return arr[:n]
+    return jnp.zeros((n,) + arr.shape[1:], arr.dtype).at[: arr.shape[0]].set(arr)
+
+
+class VOEngine:
+    """Factory for the jitted bootstrap/step functions, closed over config.
+
+    Image shape is static: one engine per camera geometry (the reference's
+    process-wide camera matrix, ``vo_node.cpp:104-108``).
+    """
+
+    def __init__(self, config: PipelineConfig, image_shape: Tuple[int, int]):
+        self.config = config
+        self.image_shape = tuple(image_shape)
+        self.step = jax.jit(self._step)
+        self.bootstrap = jax.jit(self._bootstrap)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> VOState:
+        cfg = self.config
+        h, w = self.image_shape
+        f_cap = cfg.backend.feature_capacity
+        pyr_shapes = []
+        hh, ww = h, w
+        for _ in range(cfg.frontend.lk_max_level + 1):
+            pyr_shapes.append((hh, ww))
+            hh, ww = (hh + 1) // 2, (ww + 1) // 2
+        tracker = TrackerState(
+            pyramid=tuple(jnp.zeros(s, jnp.float32) for s in pyr_shapes),
+            feat_xy=jnp.zeros((f_cap, 2), jnp.float32),
+            feat_ids=jnp.zeros((f_cap,), jnp.int32),
+            feat_valid=jnp.zeros((f_cap,), bool),
+            init_xy=jnp.zeros((f_cap, 2), jnp.float32),
+            init_count=jnp.array(0, jnp.int32),
+        )
+        return VOState(
+            tracker=tracker,
+            window=empty_window(cfg.backend),
+            pnp_pose=geo.pose_identity(),
+            cur_pose=geo.pose_identity(),
+            frame_idx=jnp.array(0, jnp.int32),
+            initialized=jnp.array(False),
+        )
+
+    # ------------------------------------------------------------------
+    def _bootstrap(self, state: VOState, left, right) -> Tuple[VOState, StepOutput]:
+        """First-keyframe path (``image_processor.cpp:30-58``): triangulate the
+        detections at the identity pose and seed tracker + window."""
+        cfg = self.config
+        f_cap = cfg.backend.feature_capacity
+        left_f = left.astype(jnp.float32)
+        det_xy, det_valid = detect_features(left_f, cfg.frontend)
+        n_det = jnp.sum(det_valid.astype(jnp.int32))
+
+        def do_init(state):
+            disp = stereo_bm_disparity(
+                left_f, right.astype(jnp.float32),
+                num_disparities=cfg.frontend.bm_num_disparities,
+                block_size=cfg.frontend.bm_block_size,
+                prefilter_cap=cfg.frontend.bm_prefilter_cap,
+                texture_threshold=cfg.frontend.bm_texture_threshold,
+                uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
+            )
+            identity = geo.pose_identity()
+            p3, tri_valid = triangulate_features(disp, det_xy, det_valid,
+                                                 cfg.camera, identity)
+            new_uv = _pad_to(det_xy, f_cap)
+            new_p3 = _pad_to(p3, f_cap)
+            new_valid = _pad_to(tri_valid, f_cap)
+            no_uv = jnp.zeros((f_cap, 2), jnp.float32)
+            no_lm = jnp.zeros((f_cap,), jnp.int32)
+            no_valid = jnp.zeros((f_cap,), bool)
+            window, ids, ids_valid = add_keyframe(
+                state.window, cfg.backend, identity,
+                no_uv, no_lm, no_valid, new_uv, new_p3, new_valid,
+            )
+            pyr = build_pyramid(left_f, cfg.frontend.lk_max_level)
+            tracker = tracker_init(tuple(pyr), new_uv, ids, ids_valid)
+            return state._replace(
+                tracker=tracker,
+                window=window,
+                initialized=jnp.array(True),
+                pnp_pose=identity,
+                cur_pose=identity,
+            )
+
+        enough = n_det >= cfg.frontend.min_detected
+        new_state = jax.lax.cond(enough, do_init, lambda s: s, state)
+        new_state = new_state._replace(frame_idx=state.frame_idx + 1)
+        zero = jnp.array(0, jnp.int32)
+        zf = jnp.array(0.0, jnp.float32)
+        out = StepOutput(
+            pose_cw=new_state.cur_pose,
+            pose_wc=geo.pose_inverse(new_state.cur_pose),
+            is_keyframe=enough,
+            pnp_ok=jnp.array(True),
+            num_detected=n_det,
+            num_tracked=zero,
+            num_inliers=zero,
+            num_new_landmarks=jnp.sum(new_state.tracker.feat_valid.astype(jnp.int32)),
+            av_parallax=zf,
+            percent_lost=zf,
+            ba_initial_cost=zf,
+            ba_final_cost=zf,
+            ba_iterations=zero,
+            track_from=new_state.tracker.init_xy,
+            track_to=new_state.tracker.feat_xy,
+            track_valid=new_state.tracker.feat_valid,
+        )
+        return new_state, out
+
+    # ------------------------------------------------------------------
+    def _step(self, state: VOState, left, right) -> Tuple[VOState, StepOutput]:
+        cfg = self.config
+        f_cap = cfg.backend.feature_capacity
+        left_f = left.astype(jnp.float32)
+        right_f = right.astype(jnp.float32)
+
+        det_xy, det_valid = detect_features(left_f, cfg.frontend)
+        n_det = jnp.sum(det_valid.astype(jnp.int32))
+        pyr = tuple(build_pyramid(left_f, cfg.frontend.lk_max_level))
+
+        def skip_frame(state):
+            zero = jnp.array(0, jnp.int32)
+            zf = jnp.array(0.0, jnp.float32)
+            out = StepOutput(
+                pose_cw=state.cur_pose,
+                pose_wc=geo.pose_inverse(state.cur_pose),
+                is_keyframe=jnp.array(False),
+                pnp_ok=jnp.array(True),
+                num_detected=n_det,
+                num_tracked=zero,
+                num_inliers=zero,
+                num_new_landmarks=zero,
+                av_parallax=zf,
+                percent_lost=zf,
+                ba_initial_cost=zf,
+                ba_final_cost=zf,
+                ba_iterations=zero,
+                track_from=state.tracker.init_xy,
+                track_to=state.tracker.feat_xy,
+                track_valid=state.tracker.feat_valid,
+            )
+            return state, out
+
+        def process_frame(state):
+            tracker, stats = track_step(state.tracker, pyr, cfg.frontend)
+            accept = (stats.av_parallax > cfg.frontend.parallax_thresh) | (
+                stats.percent_lost >= cfg.frontend.lost_thresh
+            )
+
+            def non_keyframe(args):
+                state, tracker, stats = args
+                zero = jnp.array(0, jnp.int32)
+                zf = jnp.array(0.0, jnp.float32)
+                st = state._replace(tracker=tracker)
+                out = StepOutput(
+                    pose_cw=st.cur_pose,
+                    pose_wc=geo.pose_inverse(st.cur_pose),
+                    is_keyframe=jnp.array(False),
+                    pnp_ok=jnp.array(True),
+                    num_detected=n_det,
+                    num_tracked=stats.num_tracked,
+                    num_inliers=zero,
+                    num_new_landmarks=zero,
+                    av_parallax=stats.av_parallax,
+                    percent_lost=stats.percent_lost,
+                    ba_initial_cost=zf,
+                    ba_final_cost=zf,
+                    ba_iterations=zero,
+                    track_from=tracker.init_xy,
+                    track_to=tracker.feat_xy,
+                    track_valid=tracker.feat_valid,
+                )
+                return st, out
+
+            def keyframe(args):
+                state, tracker, stats = args
+                # PnP on tracked 2d <-> stored landmark 3d (image_processor.cpp:71-80)
+                world_pts = get_world_points(state.window, tracker.feat_ids)
+                res = pnp_ransac(
+                    world_pts, tracker.feat_xy, tracker.feat_valid,
+                    cfg.camera, state.pnp_pose,
+                    state.frame_idx.astype(jnp.uint32), cfg.frontend,
+                )
+
+                def pnp_failed(_):
+                    st = state._replace(tracker=tracker)
+                    zero = jnp.array(0, jnp.int32)
+                    zf = jnp.array(0.0, jnp.float32)
+                    out = StepOutput(
+                        pose_cw=st.cur_pose,
+                        pose_wc=geo.pose_inverse(st.cur_pose),
+                        is_keyframe=jnp.array(False),
+                        pnp_ok=jnp.array(False),
+                        num_detected=n_det,
+                        num_tracked=stats.num_tracked,
+                        num_inliers=res.num_inliers,
+                        num_new_landmarks=zero,
+                        av_parallax=stats.av_parallax,
+                        percent_lost=stats.percent_lost,
+                        ba_initial_cost=zf,
+                        ba_final_cost=zf,
+                        ba_iterations=zero,
+                        track_from=tracker.init_xy,
+                        track_to=tracker.feat_xy,
+                        track_valid=tracker.feat_valid,
+                    )
+                    return st, out
+
+                def pnp_succeeded(_):
+                    pose = res.pose
+                    # keyframe observations = PnP inliers only (image_processor.cpp:95-108)
+                    inlier_valid = tracker.feat_valid & res.inliers
+                    # dedup new detections vs inlier tracked (image_processor.cpp:113-128)
+                    new_valid = dedup_new_features(
+                        det_xy, det_valid, tracker.feat_xy, inlier_valid,
+                        cfg.frontend.min_distance,
+                    )
+                    disp = stereo_bm_disparity(
+                        left_f, right_f,
+                        num_disparities=cfg.frontend.bm_num_disparities,
+                        block_size=cfg.frontend.bm_block_size,
+                        prefilter_cap=cfg.frontend.bm_prefilter_cap,
+                        texture_threshold=cfg.frontend.bm_texture_threshold,
+                        uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
+                    )
+                    p3_new, tri_valid = triangulate_features(
+                        disp, det_xy, new_valid, cfg.camera, pose
+                    )
+                    window, new_ids, new_ids_valid = add_keyframe(
+                        state.window, cfg.backend, pose,
+                        tracker.feat_xy, tracker.feat_ids, inlier_valid,
+                        _pad_to(det_xy, f_cap), _pad_to(p3_new, f_cap),
+                        _pad_to(tri_valid, f_cap),
+                    )
+                    window, ba_stats = bundle_adjust(window, cfg.camera, cfg.backend)
+                    opt_pose = newest_pose(window)
+
+                    # tracker re-init: inlier tracked + new features
+                    # (image_processor.cpp:146-162)
+                    cat_xy = jnp.concatenate(
+                        [tracker.feat_xy, _pad_to(det_xy, f_cap)], axis=0
+                    )
+                    cat_ids = jnp.concatenate([tracker.feat_ids, new_ids], axis=0)
+                    cat_valid = jnp.concatenate([inlier_valid, new_ids_valid], axis=0)
+                    order = jnp.argsort(jnp.logical_not(cat_valid), stable=True)
+                    cat_xy = cat_xy[order][:f_cap]
+                    cat_ids = cat_ids[order][:f_cap]
+                    cat_valid = cat_valid[order][:f_cap]
+                    new_tracker = tracker_init(pyr, cat_xy, cat_ids, cat_valid)
+
+                    st = state._replace(
+                        tracker=new_tracker,
+                        window=window,
+                        pnp_pose=res.pose,
+                        cur_pose=opt_pose,
+                    )
+                    out = StepOutput(
+                        pose_cw=opt_pose,
+                        pose_wc=geo.pose_inverse(opt_pose),
+                        is_keyframe=jnp.array(True),
+                        pnp_ok=jnp.array(True),
+                        num_detected=n_det,
+                        num_tracked=stats.num_tracked,
+                        num_inliers=res.num_inliers,
+                        num_new_landmarks=jnp.sum(new_ids_valid.astype(jnp.int32)),
+                        av_parallax=stats.av_parallax,
+                        percent_lost=stats.percent_lost,
+                        ba_initial_cost=ba_stats.initial_cost,
+                        ba_final_cost=ba_stats.final_cost,
+                        ba_iterations=ba_stats.iterations,
+                        track_from=tracker.init_xy,
+                        track_to=tracker.feat_xy,
+                        track_valid=inlier_valid,
+                    )
+                    return st, out
+
+                return jax.lax.cond(res.ok, pnp_succeeded, pnp_failed, None)
+
+            return jax.lax.cond(accept, keyframe, non_keyframe, (state, tracker, stats))
+
+        new_state, out = jax.lax.cond(
+            n_det >= cfg.frontend.min_detected, process_frame, skip_frame, state
+        )
+        new_state = new_state._replace(frame_idx=state.frame_idx + 1)
+        return new_state, out
