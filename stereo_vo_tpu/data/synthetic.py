@@ -28,6 +28,29 @@ from stereo_vo_tpu.core.camera import CameraInfo
 from stereo_vo_tpu.data.stream import StereoFrame
 
 
+def _np_rotmat_to_quat(m: np.ndarray) -> np.ndarray:
+    """w-first unit quaternion from a rotation matrix (numpy, Shepperd)."""
+    tr = np.trace(m)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                      (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+        q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+                      (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s])
+    elif m[1, 1] > m[2, 2]:
+        s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+        q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+                      0.25 * s, (m[1, 2] + m[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+        q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+                      (m[1, 2] + m[2, 1]) / s, 0.25 * s])
+    q = q / np.linalg.norm(q)
+    return q if q[0] >= 0 else -q
+
+
 def _smooth_noise(rng, h, w, octaves=4, amp=40.0):
     """Band-limited random texture in roughly [-amp, amp]."""
     tex = np.zeros((h, w), np.float32)
@@ -69,10 +92,8 @@ class SyntheticStereoSequence:
     rate_hz: float = 11.0
 
     def __post_init__(self):
-        import jax.numpy as jnp
-
-        from stereo_vo_tpu.core import geometry as geo
-
+        # Pure numpy: the data plane must never touch the accelerator
+        # (rendering happens on the host while the device computes).
         rng = np.random.default_rng(self.seed)
         h, w = self.shape
         f, cx, cy = self.cam.focal, self.cam.cx, self.cam.cy
@@ -99,10 +120,7 @@ class SyntheticStereoSequence:
         for r_wc, c_w in poses_wc:
             r_cw = r_wc.T
             t_cw = -r_cw @ c_w
-            q_cw = np.asarray(
-                geo.rotmat_to_quat(jnp.asarray(r_cw, jnp.float32))
-            )
-            gt.append(np.concatenate([q_cw, t_cw]).astype(np.float32))
+            gt.append(np.concatenate([_np_rotmat_to_quat(r_cw), t_cw]).astype(np.float32))
         self.gt_poses = np.stack(gt)
 
         # --- landmarks: sprinkled through the flight corridor

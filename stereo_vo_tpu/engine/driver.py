@@ -40,13 +40,18 @@ def run_vo(
     apply_drop_gate: bool = False,
     checkpoint_every: int = 0,
     resume_from: Optional[str] = None,
-    warmup_compile: bool = True,
+    chunk_size: int = 0,
     progress: bool = False,
 ) -> VORun:
     """Run the full VO pipeline over a stereo stream.
 
     ``apply_drop_gate`` reproduces the reference's 0.05 s minimum inter-frame
     interval (``vo_node.cpp:124``); dataset replay at 11 Hz never triggers it.
+
+    ``chunk_size > 1`` enables offline-replay mode: frames are batched and the
+    whole chunk runs as one device program (``lax.scan``), amortizing per-call
+    dispatch latency. Online/streaming use keeps ``chunk_size = 0`` (one call
+    per frame, pose available immediately).
     """
     import jax
 
@@ -71,59 +76,80 @@ def run_vo(
     gts: List[Optional[np.ndarray]] = []
     stats: List[dict] = []
 
+    from stereo_vo_tpu.engine.step import parse_summary
+
     n_done = 0
     t_start = None
+    n_timed_from = 0
     frame = first
+
+    def record(frame_index, pose, row, gt):
+        nonlocal n_done
+        row = {"frame": int(frame_index), **row}
+        poses.append(np.asarray(pose))
+        gts.append(gt)
+        stats.append(row)
+        if logger:
+            logger.log(row)
+        if progress and n_done % 20 == 0:
+            print(
+                f"[vo] frame {frame_index}: kf={row['is_keyframe']} "
+                f"tracked={row['num_tracked']} inliers={row['num_inliers']}"
+            )
+        n_done += 1
+        if checkpoint_every and out_dir and n_done % checkpoint_every == 0:
+            from stereo_vo_tpu.engine.checkpoint import save_state
+
+            save_state(os.path.join(out_dir, "checkpoint.npz"), state, frame_index + 1)
+
+    pending_chunk: List = []
+
+    def flush_chunk():
+        nonlocal state, t_start, n_timed_from
+        if not pending_chunk:
+            return
+        lefts = jax.numpy.asarray(np.stack([f.left for f in pending_chunk]))
+        rights = jax.numpy.asarray(np.stack([f.right for f in pending_chunk]))
+        state, ch_poses, ch_summaries = engine.replay_chunk(state, lefts, rights)
+        first_flush = t_start is None
+        ch_poses = np.asarray(ch_poses)
+        ch_summaries = np.asarray(ch_summaries)
+        if first_flush:
+            # first chunk call compiled replay_chunk; time from here
+            t_start = time.perf_counter()
+            n_timed_from = n_done + len(pending_chunk)
+        for f, pose, summ in zip(pending_chunk, ch_poses, ch_summaries):
+            _, row = parse_summary(summ)
+            record(f.index, pose, row, f.gt_pose)
+        pending_chunk.clear()
+
     while True:
-        if max_frames is not None and n_done >= max_frames:
+        if max_frames is not None and n_done + len(pending_chunk) >= max_frames:
             break
         if frame.index >= start_idx:
-            left = jax.numpy.asarray(frame.left)
-            right = jax.numpy.asarray(frame.right)
             initialized = bool(state.initialized)
-            fn = engine.step if initialized else engine.bootstrap
-            state, out = fn(state, left, right)
-            if t_start is None and initialized:
-                # this call compiled engine.step; start the clock after it so
-                # steady-state frames/s excludes compilation
-                out.pose_cw.block_until_ready()
-                t_start = time.perf_counter()
-                n_timed_from = n_done + 1
-            poses.append(np.asarray(out.pose_cw))
-            gts.append(frame.gt_pose)
-            row = {
-                "frame": int(frame.index),
-                "is_keyframe": bool(out.is_keyframe),
-                "pnp_ok": bool(out.pnp_ok),
-                "num_detected": int(out.num_detected),
-                "num_tracked": int(out.num_tracked),
-                "num_inliers": int(out.num_inliers),
-                "num_new_landmarks": int(out.num_new_landmarks),
-                "av_parallax": float(out.av_parallax),
-                "percent_lost": float(out.percent_lost),
-                "ba_initial_cost": float(out.ba_initial_cost),
-                "ba_final_cost": float(out.ba_final_cost),
-                "ba_iterations": int(out.ba_iterations),
-            }
-            stats.append(row)
-            if logger:
-                logger.log(row)
-            if progress and n_done % 20 == 0:
-                print(
-                    f"[vo] frame {frame.index}: kf={row['is_keyframe']} "
-                    f"tracked={row['num_tracked']} inliers={row['num_inliers']}"
-                )
-            if checkpoint_every and out_dir and (n_done + 1) % checkpoint_every == 0:
-                from stereo_vo_tpu.engine.checkpoint import save_state
-
-                save_state(
-                    os.path.join(out_dir, "checkpoint.npz"), state, frame.index + 1
-                )
-            n_done += 1
+            if chunk_size > 1 and initialized:
+                pending_chunk.append(frame)
+                if len(pending_chunk) >= chunk_size:
+                    flush_chunk()
+            else:
+                left = jax.numpy.asarray(frame.left)
+                right = jax.numpy.asarray(frame.right)
+                fn = engine.step if initialized else engine.bootstrap
+                state, out = fn(state, left, right)
+                if t_start is None and initialized:
+                    # this call compiled engine.step; start the clock after it
+                    # so steady-state frames/s excludes compilation
+                    out.pose_cw.block_until_ready()
+                    t_start = time.perf_counter()
+                    n_timed_from = n_done + 1
+                pose, row = parse_summary(out.summary)
+                record(frame.index, pose, row, frame.gt_pose)
         try:
             frame = next(it)
         except StopIteration:
             break
+    flush_chunk()
 
     elapsed = time.perf_counter() - t_start if t_start else 0.0
     n_timed = max(n_done - (n_timed_from if t_start else 0), 0)

@@ -74,6 +74,53 @@ class StepOutput(NamedTuple):
     track_to: jnp.ndarray      # [F, 2]
     track_valid: jnp.ndarray   # [F]
 
+    @property
+    def summary(self) -> jnp.ndarray:
+        """All per-frame scalars packed into one [18] float32 vector so the
+        host fetches a single buffer per frame (each separate fetch is a
+        device round-trip — expensive on remote-attached accelerators)."""
+        scalars = jnp.stack(
+            [
+                self.is_keyframe.astype(jnp.float32),
+                self.pnp_ok.astype(jnp.float32),
+                self.num_detected.astype(jnp.float32),
+                self.num_tracked.astype(jnp.float32),
+                self.num_inliers.astype(jnp.float32),
+                self.num_new_landmarks.astype(jnp.float32),
+                self.av_parallax,
+                self.percent_lost,
+                self.ba_initial_cost,
+                self.ba_final_cost,
+                self.ba_iterations.astype(jnp.float32),
+            ]
+        )
+        return jnp.concatenate([self.pose_cw, scalars])
+
+SUMMARY_KEYS = (
+    "is_keyframe", "pnp_ok", "num_detected", "num_tracked", "num_inliers",
+    "num_new_landmarks", "av_parallax", "percent_lost", "ba_initial_cost",
+    "ba_final_cost", "ba_iterations",
+)
+
+
+def parse_summary(vec) -> dict:
+    """Host-side: unpack a summary vector into the metrics row dict."""
+    import numpy as np
+
+    vec = np.asarray(vec)
+    pose = vec[:7]
+    s = vec[7:]
+    row = {}
+    for i, k in enumerate(SUMMARY_KEYS):
+        v = float(s[i])
+        if k in ("is_keyframe", "pnp_ok"):
+            row[k] = bool(v)
+        elif k.startswith("num_") or k == "ba_iterations":
+            row[k] = int(v)
+        else:
+            row[k] = v
+    return pose, row
+
 
 def _pad_to(arr: jnp.ndarray, n: int) -> jnp.ndarray:
     if arr.shape[0] >= n:
@@ -93,6 +140,22 @@ class VOEngine:
         self.image_shape = tuple(image_shape)
         self.step = jax.jit(self._step)
         self.bootstrap = jax.jit(self._bootstrap)
+        self.replay_chunk = jax.jit(self._replay_chunk)
+
+    def _replay_chunk(self, state: "VOState", lefts, rights):
+        """Process a whole chunk of frames in one device program (lax.scan).
+
+        The offline-replay fast path: amortizes per-call dispatch/transfer
+        latency (which dominates on remote-attached devices) over many frames.
+        Returns ``(state, poses [K, 7], summaries [K, 18])``.
+        """
+
+        def body(st, lr):
+            st, out = self._step(st, lr[0], lr[1])
+            return st, (out.pose_cw, out.summary)
+
+        state, (poses, summaries) = jax.lax.scan(body, state, (lefts, rights))
+        return state, poses, summaries
 
     # ------------------------------------------------------------------
     def init_state(self) -> VOState:

@@ -8,6 +8,7 @@ of ``jnp.pad``/slicing, and XLA fuses the tap sums into a handful of VPU passes.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -55,12 +56,16 @@ def scharr_y(img: jnp.ndarray, mode: str = "reflect") -> jnp.ndarray:
 
 
 def box_filter(img: jnp.ndarray, radius: int, mode: str = "reflect") -> jnp.ndarray:
-    """Unnormalized (2r+1)^2 box sum via 2D cumulative sums.
+    """Unnormalized (2r+1)^2 box sum.
 
-    Two cumsum passes + four gathers regardless of radius — the right shape for
-    the 21x21 StereoBM windows where tap-sum filtering would be 42 passes.
+    Small radii use separable tap sums (a handful of fused adds); large radii
+    use 2D cumulative sums (two passes + four shifted views regardless of
+    radius — the right shape for 21x21 StereoBM windows).
     """
     k = 2 * radius + 1
+    if radius <= 3:
+        ones = np.ones(k, np.float32)
+        return sep_filter(img, ones, ones, mode)
     p = _pad(img, radius, radius, mode)
     # integral image with leading zero row/col
     ii = jnp.cumsum(jnp.cumsum(p, axis=-2), axis=-1)
@@ -78,31 +83,30 @@ def box_filter(img: jnp.ndarray, radius: int, mode: str = "reflect") -> jnp.ndar
 
 
 def max_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """(2r+1)^2 sliding max (separable, log-depth doubling)."""
+    """(2r+1)^2 sliding max — separable, log-depth doubling.
+
+    Shifts are expressed as pad + static slice (cheap contiguous views), NOT
+    ``jnp.roll``: unaligned lane rotations are expensive on TPU, and the -inf
+    border masking comes for free from the pad value.
+    """
     out = img
-    # rows then cols; each direction via repeated shifts (log trick)
+    neg = -float(np.inf)
     for axis in (-2, -1):
-        cur = out
-        acc = cur
+        acc = out
+        n = out.shape[axis]
+        cover = 0
         shift = 1
-        remaining = radius
-        # running max over [-radius, +radius] with power-of-two doubling
-        while remaining > 0:
-            s = min(shift, remaining)
-            up = jnp.roll(acc, s, axis=axis)
-            dn = jnp.roll(acc, -s, axis=axis)
-            # roll wraps; mask wrapped region with -inf
-            idx = jnp.arange(out.shape[axis])
-            if axis == -2:
-                m_up = (idx >= s)[:, None]
-                m_dn = (idx < out.shape[axis] - s)[:, None]
-            else:
-                m_up = idx >= s
-                m_dn = idx < out.shape[axis] - s
-            neg = jnp.asarray(-jnp.inf, out.dtype)
-            acc = jnp.maximum(acc, jnp.where(m_up, up, neg))
-            acc = jnp.maximum(acc, jnp.where(m_dn, dn, neg))
-            remaining -= s
-            shift = s * 2
+        # running max over [-radius, +radius]; combining windows of cover c
+        # shifted by s <= 2c+1 keeps coverage contiguous
+        while cover < radius:
+            s = min(shift, radius - cover)
+            pad = [(0, 0)] * acc.ndim
+            pad[axis] = (s, s)
+            p = jnp.pad(acc, pad, constant_values=neg)
+            lo = jax.lax.slice_in_dim(p, 0, n, axis=acc.ndim + axis)
+            hi = jax.lax.slice_in_dim(p, 2 * s, 2 * s + n, axis=acc.ndim + axis)
+            acc = jnp.maximum(acc, jnp.maximum(lo, hi))
+            cover += s
+            shift = 2 * cover + 1
         out = acc
     return out

@@ -1,4 +1,4 @@
-"""Batched pyramidal Lucas-Kanade optical flow.
+"""Batched pyramidal Lucas-Kanade optical flow — MXU-native sampling.
 
 Replaces ``cv::calcOpticalFlowPyrLK(..., Size(21,21), 3, {30 iters, eps 0.01},
 0, 1e-2)`` (reference ``feature_tracker.cpp:23-26``) with a fixed-capacity
@@ -6,19 +6,30 @@ batched device op: all N features advance together through the pyramid
 (coarse -> fine), each level running a whole-batch Gauss-Newton iteration loop
 with per-feature convergence masking and a whole-batch early exit.
 
+TPU-first design (SURVEY.md §7 "hard part 1"):
+- Per-pixel gathers and per-feature dynamic slices both serialize on TPU (a
+  vmapped ``dynamic_slice`` lowers to a per-element update loop — profiled at
+  ~46k micro-ops per frame). Instead, each feature extracts one ``R x R``
+  **region** around its start point once per level, and every iteration
+  samples its 21x21 window from that region with two batched matmuls against
+  **bilinear "soft one-hot" selector matrices**:
+
+      patch[n] = RowSel[n] @ region[n] @ ColSel[n]^T
+
+  where ``RowSel[n] [21, R]`` carries ``(1-fy, fy)`` at rows ``iy, iy+1``.
+  Selector construction is elementwise iota-compare work on the VPU; the
+  sampling itself is dense MXU work. The iteration loop touches no gathers.
+- The region bounds per-level refinement to ``±slack`` pixels (the pyramid
+  handles large motion; a feature pushed beyond its region fails the level,
+  which OpenCV's forward-backward users would reject anyway).
+
 Algorithm parity with OpenCV:
 - spatial gradients via Scharr/32 on the template (previous) image per level;
 - 21x21 window, bilinear sub-pixel sampling of template and target patches;
 - per-feature 2x2 normal matrix G; failure if ``min_eig(G)/win_area`` is below
-  ``min_eig_threshold`` at level 0 (status false) — higher levels just stop
-  refining;
-- iteration stops when the update norm drops below ``eps`` (0.01) or after
-  ``max_iters`` (30);
+  ``min_eig_threshold`` at level 0 (status false);
+- iteration stops when the update norm drops below ``eps`` or at ``max_iters``;
 - a feature whose tracked position leaves the image is marked lost.
-
-The forward-backward verification the reference performs
-(``feature_tracker.cpp:31-47``) is just a second call with images swapped —
-see ``frontend.track``.
 """
 
 from __future__ import annotations
@@ -30,61 +41,99 @@ import jax.numpy as jnp
 
 from stereo_vo_tpu.ops.filters import scharr_x, scharr_y
 
+# Per-level refinement slack in pixels: region = window + 2*slack.
+LK_SLACK = 10
 
-def _bilinear_patch(img: jnp.ndarray, center: jnp.ndarray, offsets: jnp.ndarray):
-    """Sample ``img`` at ``center + offsets`` for one feature.
 
-    center: [2] (x, y); offsets: [P, 2]; returns [P].
-    Coordinates follow OpenCV patch convention: sample at integer+fraction with
-    bilinear weights from the fractional part.
+def _pad_edge(img: jnp.ndarray, m: int) -> jnp.ndarray:
+    pad = [(0, 0)] * (img.ndim - 2) + [(m, m), (m, m)]
+    return jnp.pad(img, pad, mode="edge")
+
+
+def _extract_regions(stack_padded: jnp.ndarray, origins: jnp.ndarray, r_size: int):
+    """Per-feature region extraction: ``[C, Hp, Wp]``, origins ``[N, 2]`` (x, y)
+    in padded coordinates -> ``[N, C, R, R]``.
+
+    Done once per level (batched dynamic-slice; the only non-dense op in LK).
     """
-    pts = center[None, :] + offsets  # [P, 2]
-    x = pts[:, 0]
-    y = pts[:, 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    h, w = img.shape
-    xi = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
-    yi = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
-    i00 = img[yi, xi]
-    i01 = img[yi, xi + 1]
-    i10 = img[yi + 1, xi]
-    i11 = img[yi + 1, xi + 1]
-    return (
-        i00 * (1 - fy) * (1 - fx)
-        + i01 * (1 - fy) * fx
-        + i10 * fy * (1 - fx)
-        + i11 * fy * fx
-    )
+    c = stack_padded.shape[0]
+    return jax.vmap(
+        lambda oy, ox: jax.lax.dynamic_slice(
+            stack_padded, (0, oy, ox), (c, r_size, r_size)
+        )
+    )(origins[:, 1], origins[:, 0])
+
+
+def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
+    """Bilinear selector matrices ``[N, win, R]``: row i has weight ``1-frac``
+    at column ``idx + i`` and ``frac`` at ``idx + i + 1``."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (win, r_size), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (win, r_size), 1)
+    d = (j - i)[None, :, :]                      # [1, win, R]
+    idx = idx[:, None, None]
+    frac = frac[:, None, None]
+    return jnp.where(d == idx, 1.0 - frac, 0.0) + jnp.where(d == idx + 1, frac, 0.0)
+
+
+def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
+    """Sample ``[N, C, win, win]`` windows from ``[N, C, R, R]`` regions at
+    continuous region coordinates ``pos [N, 2]`` (x, y of window top-left)."""
+    r_size = regions.shape[-1]
+    x0 = jnp.floor(pos[:, 0])
+    y0 = jnp.floor(pos[:, 1])
+    fx = pos[:, 0] - x0
+    fy = pos[:, 1] - y0
+    rowsel = _soft_selector(y0.astype(jnp.int32), fy, win, r_size)  # [N, w, R]
+    colsel = _soft_selector(x0.astype(jnp.int32), fx, win, r_size)  # [N, w, R]
+    tmp = jnp.einsum("nar,ncrs->ncas", rowsel, regions,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("ncas,nbs->ncab", tmp, colsel,
+                      preferred_element_type=jnp.float32)
 
 
 def _lk_level(
-    prev_img, next_img, gx, gy, pts_prev, guess, active, half: int,
-    max_iters: int, eps: float, min_eig_threshold: float, is_level0: bool,
+    prev_stack, next_img, img_shape, pts_prev, guess, active, half: int,
+    slack: int, max_iters: int, eps: float, min_eig_threshold: float,
+    is_level0: bool,
 ):
-    """One pyramid level of LK for all features.
+    """One pyramid level of LK for all features (region + MXU sampling)."""
+    h, w = img_shape
+    win = 2 * half + 1
+    r_size = win + 2 * slack + 1   # window + slack each side + bilinear margin
+    m = half + slack + 1           # image pad
+    win_area = float(win * win)
 
-    pts_prev/guess: [N, 2] at this level's scale. Returns (new_guess [N,2],
-    ok [N] — min-eig/inside checks at this level).
-    """
-    n = pts_prev.shape[0]
-    h, w = prev_img.shape
-    r = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    offs = jnp.stack(
-        [jnp.tile(r, half * 2 + 1), jnp.repeat(r, half * 2 + 1)], axis=-1
-    )  # [P, 2] (x, y)
-    win_area = float((2 * half + 1) ** 2)
+    stack_p = _pad_edge(prev_stack, m)
+    next_p = _pad_edge(next_img[None], m)
+    hp, wp = stack_p.shape[-2:]
 
-    sample = jax.vmap(_bilinear_patch, in_axes=(None, 0, None))
-    t_patch = sample(prev_img, pts_prev, offs)   # [N, P] template
-    gx_p = sample(gx, pts_prev, offs)
-    gy_p = sample(gy, pts_prev, offs)
+    # Region origin (padded coords): centered on the *template* point for prev,
+    # on the initial guess for next.
+    def origins(centers):
+        ox = jnp.clip(
+            jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m,
+            0, wp - r_size,
+        )
+        oy = jnp.clip(
+            jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m,
+            0, hp - r_size,
+        )
+        return jnp.stack([ox, oy], axis=1)
 
-    g11 = jnp.sum(gx_p * gx_p, axis=1)
-    g12 = jnp.sum(gx_p * gy_p, axis=1)
-    g22 = jnp.sum(gy_p * gy_p, axis=1)
+    prev_org = origins(pts_prev)
+    next_org = origins(guess)
+    prev_reg = _extract_regions(stack_p, prev_org, r_size)   # [N, 3, R, R]
+    next_reg = _extract_regions(next_p, next_org, r_size)    # [N, 1, R, R]
+
+    # Continuous region coordinates of a window top-left for image point p:
+    # (p - half) + m - origin.
+    tpl_pos = pts_prev - half + m - prev_org.astype(pts_prev.dtype)
+    tpl = _sample(prev_reg, tpl_pos, win)                    # [N, 3, w, w]
+    t_patch, gx_p, gy_p = tpl[:, 0], tpl[:, 1], tpl[:, 2]
+
+    g11 = jnp.sum(gx_p * gx_p, axis=(1, 2))
+    g12 = jnp.sum(gx_p * gy_p, axis=(1, 2))
+    g22 = jnp.sum(gy_p * gy_p, axis=(1, 2))
     tr = g11 + g22
     det = g11 * g22 - g12 * g12
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5
@@ -92,44 +141,50 @@ def _lk_level(
     det_ok = det > 1e-12
     solvable = eig_ok & det_ok & active
 
-    inv11 = jnp.where(det_ok, g22 / jnp.where(det_ok, det, 1.0), 0.0)
-    inv12 = jnp.where(det_ok, -g12 / jnp.where(det_ok, det, 1.0), 0.0)
-    inv22 = jnp.where(det_ok, g11 / jnp.where(det_ok, det, 1.0), 0.0)
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv11 = jnp.where(det_ok, g22 / safe_det, 0.0)
+    inv12 = jnp.where(det_ok, -g12 / safe_det, 0.0)
+    inv22 = jnp.where(det_ok, g11 / safe_det, 0.0)
+
+    next_org_f = next_org.astype(guess.dtype)
+
+    def in_region(g):
+        pos = g - half + m - next_org_f
+        return (
+            (pos[:, 0] >= 0) & (pos[:, 0] <= r_size - win - 1)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= r_size - win - 1)
+        )
 
     def body(state):
         guess, converged, it = state
-
-        def iterate(_):
-            j_patch = sample(next_img, guess, offs)  # [N, P]
-            di = j_patch - t_patch
-            bx = jnp.sum(di * gx_p, axis=1)
-            by = jnp.sum(di * gy_p, axis=1)
-            dx = -(inv11 * bx + inv12 * by)
-            dy = -(inv12 * bx + inv22 * by)
-            step = jnp.stack([dx, dy], axis=-1)
-            upd = solvable & ~converged
-            new_guess = jnp.where(upd[:, None], guess + step, guess)
-            small = jnp.sum(step * step, axis=-1) < eps * eps
-            return new_guess, converged | small | ~solvable
-
-        new_guess, new_conv = iterate(None)
-        return new_guess, new_conv, it + 1
+        pos = guess - half + m - next_org_f
+        pos = jnp.clip(pos, 0.0, float(r_size - win - 1))
+        j_patch = _sample(next_reg, pos, win)[:, 0]
+        di = j_patch - t_patch
+        bx = jnp.sum(di * gx_p, axis=(1, 2))
+        by = jnp.sum(di * gy_p, axis=(1, 2))
+        dx = -(inv11 * bx + inv12 * by)
+        dy = -(inv12 * bx + inv22 * by)
+        step = jnp.stack([dx, dy], axis=-1)
+        upd = solvable & ~converged
+        new_guess = jnp.where(upd[:, None], guess + step, guess)
+        small = jnp.sum(step * step, axis=-1) < eps * eps
+        out_of_region = ~in_region(new_guess)
+        return new_guess, converged | small | out_of_region | ~solvable, it + 1
 
     def cond(state):
         _, converged, it = state
         return (it < max_iters) & ~jnp.all(converged)
 
-    converged0 = jnp.zeros(n, bool) | ~solvable
+    converged0 = ~solvable
     guess, _, _ = jax.lax.while_loop(cond, body, (guess, converged0, 0))
 
-    # OpenCV only kills a feature when its point leaves the image (the window
-    # may partially hang off the border; sampling clamps there).
+    # OpenCV only kills a feature when its point leaves the image; our region
+    # bound additionally fails features that ran off their slack window.
     inside = (
-        (guess[:, 0] >= 0)
-        & (guess[:, 0] <= w - 1)
-        & (guess[:, 1] >= 0)
-        & (guess[:, 1] <= h - 1)
-    )
+        (guess[:, 0] >= 0) & (guess[:, 0] <= w - 1)
+        & (guess[:, 1] >= 0) & (guess[:, 1] <= h - 1)
+    ) & in_region(guess)
     if is_level0:
         ok = solvable & inside
     else:
@@ -146,6 +201,7 @@ def lk_track_pyramid(
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-2,
+    slack: int = LK_SLACK,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Track ``pts [N, 2]`` from ``prev_pyr`` to ``next_pyr``.
 
@@ -161,11 +217,10 @@ def lk_track_pyramid(
     for lvl in range(n_levels - 1, -1, -1):
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
-        gx = scharr_x(prev_img)
-        gy = scharr_y(prev_img)
+        stack = jnp.stack([prev_img, scharr_x(prev_img), scharr_y(prev_img)])
         pts_l = pts / float(2 ** lvl)
         guess, ok = _lk_level(
-            prev_img, next_img, gx, gy, pts_l, guess, ok, half,
+            stack, next_img, prev_img.shape, pts_l, guess, ok, half, slack,
             max_iters, eps, min_eig_threshold, is_level0=(lvl == 0),
         )
         if lvl > 0:

@@ -126,3 +126,17 @@ def test_blank_images_degrade_gracefully(tmp_path):
     assert len(run.poses) == 3
     np.testing.assert_allclose(run.poses[-1], [1, 0, 0, 0, 0, 0, 0], atol=1e-6)
     assert all(not s["is_keyframe"] for s in run.frame_stats)
+
+
+def test_chunked_replay_matches_streaming(world):
+    """Offline chunked replay (lax.scan) must produce the same trajectory as
+    per-frame streaming calls."""
+    cfg = small_config()
+    frames = list(world)[:13]
+    run_stream = run_vo(iter(frames), cfg)
+    run_chunk = run_vo(iter(frames), cfg, chunk_size=4)
+    assert len(run_chunk.poses) == len(run_stream.poses)
+    np.testing.assert_allclose(run_chunk.poses, run_stream.poses, atol=1e-5)
+    kf_a = [s["is_keyframe"] for s in run_stream.frame_stats]
+    kf_b = [s["is_keyframe"] for s in run_chunk.frame_stats]
+    assert kf_a == kf_b
