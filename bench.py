@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness: VO frames/sec on one chip vs the reference's CPU twin.
+
+Prints ONE JSON line:
+    {"metric": "vo_frames_per_sec_1chip", "value": N, "unit": "frames/s",
+     "vs_baseline": R, "details": {...}}
+
+- Measured pipeline: full stereo VO (detect -> LK fwd/bwd track -> keyframe
+  gate -> PnP-RANSAC -> StereoBM -> triangulate -> sliding-window Schur-LM BA)
+  on KITTI-sized (376x1241) synthetic stereo frames under kitti00 intrinsics,
+  replayed through the chunked offline path (the per-frame streaming path gives
+  the same trajectory; chunking amortizes host/device dispatch).
+- Baseline: the reference's algorithmic twin on CPU — OpenCV
+  goodFeaturesToTrack + calcOpticalFlowPyrLK (forward+backward) each frame,
+  plus StereoBM + solvePnPRansac on keyframes, at the cadence the measured run
+  actually produced. The reference's Ceres BA time (0.1 s budget/solve,
+  bundle_adjuster.cpp:11) is NOT charged to the baseline — generous to it.
+  (BASELINE.md "Measurement plan": no published numbers exist, so the envelope
+  is measured empirically.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_world(n_frames):
+    from stereo_vo_tpu.core.config import load_config
+    from stereo_vo_tpu.data.synthetic import SyntheticStereoSequence
+
+    cfg = load_config("kitti00")
+    world = SyntheticStereoSequence(
+        cam=cfg.camera, n_frames=n_frames, shape=(376, 1241), n_points=4000,
+        seed=0, speed=0.8, yaw_rate=0.003,
+    )
+    return cfg, world
+
+
+def measure_tpu(cfg, frames, chunk_size, attempts=3):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from stereo_vo_tpu.engine.driver import run_vo
+
+    last_err = None
+    for attempt in range(attempts):
+        try:
+            run = run_vo(iter(frames), cfg, chunk_size=chunk_size, preload_device=True)
+            return run
+        except Exception as e:  # remote-attached device can flake transiently
+            last_err = e
+            print(f"[bench] device attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(5)
+    raise last_err
+
+
+def measure_cpu_twin(frames, kf_ratio, n_cpu_frames=20):
+    """Per-frame cost of the reference's OpenCV frontend on this host."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    frames = frames[:n_cpu_frames + 1]
+    prev = frames[0].left
+    prev_pts = cv2.goodFeaturesToTrack(prev, 300, 0.1, 30)
+    bm = cv2.StereoBM.create(48, 21)
+    k = np.array([[718.856, 0, 607.19], [0, 718.856, 185.22], [0, 0, 1]])
+
+    # synthesize a plausible PnP problem once (time scales with count, not values)
+    rng = np.random.default_rng(0)
+    obj = np.concatenate([rng.uniform(-5, 5, (200, 2)), rng.uniform(8, 30, (200, 1))],
+                         axis=1)
+    img_pts = (obj[:, :2] / obj[:, 2:3]) * 718.856 + np.array([607.19, 185.22])
+    img_pts = (img_pts + rng.normal(size=img_pts.shape)).astype(np.float64)
+
+    t0 = time.perf_counter()
+    n = 0
+    for f in frames[1:]:
+        cur = f.left
+        # every frame: detect + forward/backward LK (feature_tracker.cpp:23-47)
+        pts = cv2.goodFeaturesToTrack(cur, 300, 0.1, 30)
+        if prev_pts is not None and len(prev_pts):
+            fwd, st1, _ = cv2.calcOpticalFlowPyrLK(
+                prev, cur, prev_pts, None, winSize=(21, 21), maxLevel=3)
+            cv2.calcOpticalFlowPyrLK(cur, prev, fwd, None, winSize=(21, 21), maxLevel=3)
+        # keyframe work at the measured cadence (StereoBM + PnP;
+        # image_processor.cpp:76-80,173-176)
+        if (n * kf_ratio) % 1.0 + kf_ratio >= 1.0:
+            bm.compute(f.left, f.right)
+            cv2.solvePnPRansac(obj, img_pts.reshape(-1, 1, 2), k, np.zeros(4),
+                               iterationsCount=100, reprojectionError=8.0,
+                               confidence=0.99)
+        prev, prev_pts = cur, pts
+        n += 1
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--platform", default="auto")
+    args = ap.parse_args()
+
+    n_frames = 48 if args.quick else args.frames
+    # bootstrap frame + whole chunks only (a partial tail would stream through
+    # engine.step, whose first-use compile would pollute the timed region)
+    n_frames = 1 + max(1, round((n_frames - 1) / args.chunk)) * args.chunk
+
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg, world = build_world(n_frames)
+    frames = list(world)
+
+    run = measure_tpu(cfg, frames, args.chunk)
+    tpu_fps = run.frames_per_sec
+    kf = sum(1 for s in run.frame_stats if s["is_keyframe"])
+    kf_ratio = kf / max(len(run.frame_stats), 1)
+
+    cpu_fps = measure_cpu_twin(frames, kf_ratio)
+
+    kf_mask = np.array([s["is_keyframe"] for s in run.frame_stats])
+    from stereo_vo_tpu.eval.ate import absolute_trajectory_error
+
+    ate_kf = (
+        absolute_trajectory_error(
+            run.poses[kf_mask], world.gt_poses[: len(run.poses)][kf_mask], align=False
+        )
+        if kf_mask.sum() >= 3
+        else None
+    )
+
+    result = {
+        "metric": "vo_frames_per_sec_1chip",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2) if cpu_fps else None,
+        "details": {
+            "frames": len(run.poses),
+            "keyframes": kf,
+            "cpu_twin_fps": round(cpu_fps, 2) if cpu_fps else None,
+            "ate_keyframes_m": round(ate_kf["rmse"], 3) if ate_kf else None,
+            "image": "376x1241 synthetic (kitti00 intrinsics)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

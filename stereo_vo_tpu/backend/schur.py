@@ -218,17 +218,181 @@ def bundle_adjust(
     Ceres, which optimizes parameter blocks in place (the reference then
     re-publishes only the newest pose; see ``engine``).
     """
-    poses0 = window.poses
-    lm0 = window.lm_pos
-    cost0 = _cost(poses0, lm0, window, cam, cfg.min_depth)
+    prob = window_to_landmark_major(window)
+    poses, lm_pos, cost0, cost, accepted, last_rel = lm_loop(
+        prob, cam, cfg, axis=None
+    )
+    new_window = window._replace(poses=poses, lm_pos=lm_pos)
+    stats = BASolveStats(
+        initial_cost=cost0,
+        final_cost=cost,
+        iterations=accepted,
+        converged=last_rel < rel_tol,
+    )
+    return new_window, stats
+
+
+# ---------------------------------------------------------------------------
+# Landmark-major formulation — the production solve path.
+#
+# Each (pose, landmark) pair has at most one observation, so observations pack
+# densely as [L, W, ...]. All per-landmark blocks (V, g_l, the W coupling) are
+# then plain einsums over the local W axis — no scatters, which serialize on
+# TPU. The same code runs single-device (axis=None) and landmark-sharded under
+# shard_map (axis="lm", see stereo_vo_tpu/parallel/sharded_ba.py): the only
+# cross-shard ops are psums of the reduced camera system.
+# ---------------------------------------------------------------------------
+
+
+class LandmarkMajorProblem(NamedTuple):
+    poses: jnp.ndarray       # [W, 7]
+    pose_valid: jnp.ndarray  # [W]
+    lm_pos: jnp.ndarray      # [L, 3]
+    lm_valid: jnp.ndarray    # [L]
+    obs_uv: jnp.ndarray      # [L, W, 2]
+    obs_valid: jnp.ndarray   # [L, W]
+
+
+def window_to_landmark_major(window: WindowState) -> LandmarkMajorProblem:
+    """Scatter the engine's pose-major observation tensor into landmark-major
+    (the one scatter per solve; everything downstream is dense)."""
+    lcap = window.landmark_capacity
+    w, f = window.obs_valid.shape
+    lm_idx = jnp.where(window.obs_valid, window.obs_lm, lcap)
+    w_idx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[:, None], (w, f))
+    obs_uv = (
+        jnp.zeros((lcap + 1, w, 2), window.obs_uv.dtype)
+        .at[lm_idx.reshape(-1), w_idx.reshape(-1)]
+        .set(window.obs_uv.reshape(-1, 2), mode="drop")[:lcap]
+    )
+    obs_valid = (
+        jnp.zeros((lcap + 1, w), bool)
+        .at[lm_idx.reshape(-1), w_idx.reshape(-1)]
+        .set(True, mode="drop")[:lcap]
+    )
+    return LandmarkMajorProblem(
+        poses=window.poses,
+        pose_valid=window.pose_valid,
+        lm_pos=window.lm_pos,
+        lm_valid=window.lm_valid,
+        obs_uv=obs_uv,
+        obs_valid=obs_valid,
+    )
+
+
+def _lm_major_cost(poses, lm_pos, prob: LandmarkMajorProblem, cam, min_depth, axis):
+    """Cost on landmark-major arrays; psum over ``axis`` if inside shard_map."""
+    from stereo_vo_tpu.core.geometry import pose_q, pose_t, rot_apply
+
+    l, w = prob.obs_valid.shape
+    pose_b = jnp.broadcast_to(poses[None, :, :], (l, w, 7))
+    pts = jnp.broadcast_to(lm_pos[:, None, :], (l, w, 3))
+    r = reprojection_residual(pose_b, pts, prob.obs_uv, cam)
+    z = (rot_apply(pose_q(pose_b), pts) + pose_t(pose_b))[..., 2]
+    mask = (
+        prob.obs_valid
+        & prob.pose_valid[None, :]
+        & prob.lm_valid[:, None]
+        & (z > min_depth)
+    )
+    r = jnp.where(mask[..., None], r, 0.0)
+    cost = 0.5 * jnp.sum(r * r)
+    if axis is not None:
+        cost = jax.lax.psum(cost, axis)
+    return cost
+
+
+def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis):
+    """One damped Schur step on landmark-major (possibly sharded) arrays."""
+    from stereo_vo_tpu.core.geometry import pose_q, pose_t, rot_apply
+
+    l, w = prob.obs_valid.shape
+    dtype = poses.dtype
+
+    pose_b = jnp.broadcast_to(poses[None, :, :], (l, w, 7))
+    pts = jnp.broadcast_to(lm_pos[:, None, :], (l, w, 3))
+    r, jp7, jl = reprojection_jacobians(pose_b, pts, prob.obs_uv, cam)
+    z = (rot_apply(pose_q(pose_b), pts) + pose_t(pose_b))[..., 2]
+    mask = (
+        prob.obs_valid
+        & prob.pose_valid[None, :]
+        & prob.lm_valid[:, None]
+        & (z > cfg.min_depth)
+    )
+    r = jnp.where(mask[..., None], r, 0.0)
+    lift = quat_lift_jacobian(poses[:, 0:4])            # [W, 4, 3]
+    jq = jnp.einsum("lwij,wjk->lwik", jp7[..., 0:4], lift)
+    jp6 = jnp.concatenate([jq, jp7[..., 4:7]], axis=-1)
+    jp6 = jnp.where(mask[..., None, None], jp6, 0.0)
+    jl = jnp.where(mask[..., None, None], jl, 0.0)
+
+    # landmark-local blocks (no scatter needed in this layout)
+    v = jnp.einsum("lwri,lwrj->lij", jl, jl)            # [L, 3, 3]
+    g_l = -jnp.einsum("lwri,lwr->li", jl, r)            # [L, 3]
+    wl = jnp.einsum("lwri,lwrj->lwij", jp6, jl)         # [L, W, 6, 3]
+    u_part = jnp.einsum("lwri,lwrj->wij", jp6, jp6)     # [W, 6, 6] partial
+    g_p_part = -jnp.einsum("lwri,lwr->wi", jp6, r)      # [W, 6] partial
+
+    def damp(m):
+        dd = lam * jnp.clip(jnp.diagonal(m, axis1=-2, axis2=-1), 1e-8, 1e32)
+        return m + jnp.eye(m.shape[-1], dtype=dtype) * dd[..., None, :]
+
+    lm_active = prob.lm_valid & (jnp.einsum("lii->l", v) > 0)
+    v_inv = _inv3x3(damp(v), eps=1e-6)
+    v_inv = jnp.where(lm_active[:, None, None], v_inv, 0.0)
+
+    wv = jnp.einsum("lwab,lbc->lwac", wl, v_inv)
+    s_part = -jnp.einsum("lwac,lvdc->wavd", wv, wl)
+    rhs_part = g_p_part - jnp.einsum("lwac,lc->wa", wv, g_l)
+
+    # ---- the only collectives: reduce the camera system over the lm axis
+    if axis is not None:
+        u_blocks = jax.lax.psum(u_part, axis)
+        s = jax.lax.psum(s_part, axis)
+        rhs = jax.lax.psum(rhs_part, axis)
+    else:
+        u_blocks, s, rhs = u_part, s_part, rhs_part
+
+    # damping of U uses the reduced (global) diagonal — matches single-device
+    s = s + jnp.einsum("wv,wab->wavb", jnp.eye(w, dtype=dtype), damp(u_blocks))
+
+    free = prob.pose_valid & (jnp.arange(w) > 0)
+    fm = free.astype(dtype)
+    s = s * fm[:, None, None, None] * fm[None, None, :, None]
+    s = s + jnp.einsum("wv,ab->wavb", jnp.diag(1.0 - fm), jnp.eye(6, dtype=dtype))
+    rhs = rhs * fm[:, None]
+
+    n = w * 6
+    delta_p = jnp.linalg.solve(
+        s.reshape(n, n) + 1e-10 * jnp.eye(n, dtype=dtype), rhs.reshape(n)
+    ).reshape(w, 6)
+    delta_p = delta_p * fm[:, None]
+
+    # local landmark back-substitution
+    wtdp = jnp.einsum("lwab,wa->lb", wl, delta_p)
+    delta_l = jnp.einsum("lbc,lc->lb", v_inv, g_l - wtdp)
+    delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+
+    new_poses = pose_retract(poses, delta_p)
+    new_poses = jnp.where(free[:, None], new_poses, poses)
+    return new_poses, lm_pos + delta_l
+
+
+def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
+    """Full LM accept/reject loop; shard-safe (all branches replicated).
+
+    Returns ``(poses, lm_pos, initial_cost, final_cost, accepted, last_rel)``.
+    """
+    poses0, lm0 = prob.poses, prob.lm_pos
+    cost0 = _lm_major_cost(poses0, lm0, prob, cam, cfg.min_depth, axis)
 
     def body(carry, _):
         poses, lm_pos, lam, cost, accepted = carry
-        cand_poses, cand_lm = lm_step(poses, lm_pos, lam, window, cam, cfg)
-        cand_cost = _cost(cand_poses, cand_lm, window, cam, cfg.min_depth)
+        cand_p, cand_l = lm_major_step(poses, lm_pos, lam, prob, cam, cfg, axis)
+        cand_cost = _lm_major_cost(cand_p, cand_l, prob, cam, cfg.min_depth, axis)
         ok = (cand_cost < cost) & jnp.isfinite(cand_cost)
-        poses = jnp.where(ok, cand_poses, poses)
-        lm_pos = jnp.where(ok, cand_lm, lm_pos)
+        poses = jnp.where(ok, cand_p, poses)
+        lm_pos = jnp.where(ok, cand_l, lm_pos)
         cost_new = jnp.where(ok, cand_cost, cost)
         lam = jnp.clip(
             jnp.where(ok, lam / 3.0, lam * 4.0), cfg.min_damping, cfg.max_damping
@@ -236,22 +400,16 @@ def bundle_adjust(
         rel = jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-20)
         return (poses, lm_pos, lam, cost_new, accepted + ok.astype(jnp.int32)), rel
 
+    # multiply by ones_like(cost0) so scalars carry the same varying-manual-axes
+    # metadata as the cost under shard_map (scan carry types must match)
     init = (
         poses0,
         lm0,
-        jnp.asarray(cfg.init_damping, poses0.dtype),
+        jnp.asarray(cfg.init_damping, poses0.dtype) * jnp.ones_like(cost0),
         cost0,
-        jnp.array(0, jnp.int32),
+        jnp.array(0, jnp.int32) * jnp.zeros_like(cost0).astype(jnp.int32),
     )
     (poses, lm_pos, _, cost, accepted), rels = jax.lax.scan(
         body, init, None, length=cfg.max_lm_iters
     )
-
-    new_window = window._replace(poses=poses, lm_pos=lm_pos)
-    stats = BASolveStats(
-        initial_cost=cost0,
-        final_cost=cost,
-        iterations=accepted,
-        converged=rels[-1] < rel_tol,
-    )
-    return new_window, stats
+    return poses, lm_pos, cost0, cost, accepted, rels[-1]
