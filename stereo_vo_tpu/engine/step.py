@@ -253,6 +253,12 @@ class VOEngine:
 
     # ------------------------------------------------------------------
     def _step(self, state: VOState, left, right) -> Tuple[VOState, StepOutput]:
+        """One frame. Control-flow layout is deliberate for TPU: the heavy
+        arrays (image pyramids) are computed unconditionally and selected with
+        cheap elementwise ``where``s, so only *small* state (window, landmark
+        tables, feature slots) ever crosses a ``lax.cond`` boundary — each cond
+        materializes copies of everything it carries, which dominated frame
+        time in the naive nested-cond formulation."""
         cfg = self.config
         f_cap = cfg.backend.feature_capacity
         left_f = left.astype(jnp.float32)
@@ -260,170 +266,135 @@ class VOEngine:
 
         det_xy, det_valid = detect_features(left_f, cfg.frontend)
         n_det = jnp.sum(det_valid.astype(jnp.int32))
+        has_det = n_det >= cfg.frontend.min_detected
         pyr = tuple(build_pyramid(left_f, cfg.frontend.lk_max_level))
 
-        def skip_frame(state):
-            zero = jnp.array(0, jnp.int32)
-            zf = jnp.array(0.0, jnp.float32)
-            out = StepOutput(
-                pose_cw=state.cur_pose,
-                pose_wc=geo.pose_inverse(state.cur_pose),
-                is_keyframe=jnp.array(False),
-                pnp_ok=jnp.array(True),
-                num_detected=n_det,
-                num_tracked=zero,
-                num_inliers=zero,
-                num_new_landmarks=zero,
-                av_parallax=zf,
-                percent_lost=zf,
-                ba_initial_cost=zf,
-                ba_final_cost=zf,
-                ba_iterations=zero,
-                track_from=state.tracker.init_xy,
-                track_to=state.tracker.feat_xy,
-                track_valid=state.tracker.feat_valid,
-            )
-            return state, out
+        # Track unconditionally; if the frame is skipped (under 4 detections,
+        # image_processor.cpp:23-25) the tracker update is discarded below.
+        tracked, stats = track_step(state.tracker, pyr, cfg.frontend)
 
-        def process_frame(state):
-            tracker, stats = track_step(state.tracker, pyr, cfg.frontend)
-            accept = (stats.av_parallax > cfg.frontend.parallax_thresh) | (
-                stats.percent_lost >= cfg.frontend.lost_thresh
-            )
-
-            def non_keyframe(args):
-                state, tracker, stats = args
-                zero = jnp.array(0, jnp.int32)
-                zf = jnp.array(0.0, jnp.float32)
-                st = state._replace(tracker=tracker)
-                out = StepOutput(
-                    pose_cw=st.cur_pose,
-                    pose_wc=geo.pose_inverse(st.cur_pose),
-                    is_keyframe=jnp.array(False),
-                    pnp_ok=jnp.array(True),
-                    num_detected=n_det,
-                    num_tracked=stats.num_tracked,
-                    num_inliers=zero,
-                    num_new_landmarks=zero,
-                    av_parallax=stats.av_parallax,
-                    percent_lost=stats.percent_lost,
-                    ba_initial_cost=zf,
-                    ba_final_cost=zf,
-                    ba_iterations=zero,
-                    track_from=tracker.init_xy,
-                    track_to=tracker.feat_xy,
-                    track_valid=tracker.feat_valid,
-                )
-                return st, out
-
-            def keyframe(args):
-                state, tracker, stats = args
-                # PnP on tracked 2d <-> stored landmark 3d (image_processor.cpp:71-80)
-                world_pts = get_world_points(state.window, tracker.feat_ids)
-                res = pnp_ransac(
-                    world_pts, tracker.feat_xy, tracker.feat_valid,
-                    cfg.camera, state.pnp_pose,
-                    state.frame_idx.astype(jnp.uint32), cfg.frontend,
-                )
-
-                def pnp_failed(_):
-                    st = state._replace(tracker=tracker)
-                    zero = jnp.array(0, jnp.int32)
-                    zf = jnp.array(0.0, jnp.float32)
-                    out = StepOutput(
-                        pose_cw=st.cur_pose,
-                        pose_wc=geo.pose_inverse(st.cur_pose),
-                        is_keyframe=jnp.array(False),
-                        pnp_ok=jnp.array(False),
-                        num_detected=n_det,
-                        num_tracked=stats.num_tracked,
-                        num_inliers=res.num_inliers,
-                        num_new_landmarks=zero,
-                        av_parallax=stats.av_parallax,
-                        percent_lost=stats.percent_lost,
-                        ba_initial_cost=zf,
-                        ba_final_cost=zf,
-                        ba_iterations=zero,
-                        track_from=tracker.init_xy,
-                        track_to=tracker.feat_xy,
-                        track_valid=tracker.feat_valid,
-                    )
-                    return st, out
-
-                def pnp_succeeded(_):
-                    pose = res.pose
-                    # keyframe observations = PnP inliers only (image_processor.cpp:95-108)
-                    inlier_valid = tracker.feat_valid & res.inliers
-                    # dedup new detections vs inlier tracked (image_processor.cpp:113-128)
-                    new_valid = dedup_new_features(
-                        det_xy, det_valid, tracker.feat_xy, inlier_valid,
-                        cfg.frontend.min_distance,
-                    )
-                    disp = stereo_bm_disparity(
-                        left_f, right_f,
-                        num_disparities=cfg.frontend.bm_num_disparities,
-                        block_size=cfg.frontend.bm_block_size,
-                        prefilter_cap=cfg.frontend.bm_prefilter_cap,
-                        texture_threshold=cfg.frontend.bm_texture_threshold,
-                        uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
-                    )
-                    p3_new, tri_valid = triangulate_features(
-                        disp, det_xy, new_valid, cfg.camera, pose
-                    )
-                    window, new_ids, new_ids_valid = add_keyframe(
-                        state.window, cfg.backend, pose,
-                        tracker.feat_xy, tracker.feat_ids, inlier_valid,
-                        _pad_to(det_xy, f_cap), _pad_to(p3_new, f_cap),
-                        _pad_to(tri_valid, f_cap),
-                    )
-                    window, ba_stats = bundle_adjust(window, cfg.camera, cfg.backend)
-                    opt_pose = newest_pose(window)
-
-                    # tracker re-init: inlier tracked + new features
-                    # (image_processor.cpp:146-162)
-                    cat_xy = jnp.concatenate(
-                        [tracker.feat_xy, _pad_to(det_xy, f_cap)], axis=0
-                    )
-                    cat_ids = jnp.concatenate([tracker.feat_ids, new_ids], axis=0)
-                    cat_valid = jnp.concatenate([inlier_valid, new_ids_valid], axis=0)
-                    order = jnp.argsort(jnp.logical_not(cat_valid), stable=True)
-                    cat_xy = cat_xy[order][:f_cap]
-                    cat_ids = cat_ids[order][:f_cap]
-                    cat_valid = cat_valid[order][:f_cap]
-                    new_tracker = tracker_init(pyr, cat_xy, cat_ids, cat_valid)
-
-                    st = state._replace(
-                        tracker=new_tracker,
-                        window=window,
-                        pnp_pose=res.pose,
-                        cur_pose=opt_pose,
-                    )
-                    out = StepOutput(
-                        pose_cw=opt_pose,
-                        pose_wc=geo.pose_inverse(opt_pose),
-                        is_keyframe=jnp.array(True),
-                        pnp_ok=jnp.array(True),
-                        num_detected=n_det,
-                        num_tracked=stats.num_tracked,
-                        num_inliers=res.num_inliers,
-                        num_new_landmarks=jnp.sum(new_ids_valid.astype(jnp.int32)),
-                        av_parallax=stats.av_parallax,
-                        percent_lost=stats.percent_lost,
-                        ba_initial_cost=ba_stats.initial_cost,
-                        ba_final_cost=ba_stats.final_cost,
-                        ba_iterations=ba_stats.iterations,
-                        track_from=tracker.init_xy,
-                        track_to=tracker.feat_xy,
-                        track_valid=inlier_valid,
-                    )
-                    return st, out
-
-                return jax.lax.cond(res.ok, pnp_succeeded, pnp_failed, None)
-
-            return jax.lax.cond(accept, keyframe, non_keyframe, (state, tracker, stats))
-
-        new_state, out = jax.lax.cond(
-            n_det >= cfg.frontend.min_detected, process_frame, skip_frame, state
+        accept = has_det & (
+            (stats.av_parallax > cfg.frontend.parallax_thresh)
+            | (stats.percent_lost >= cfg.frontend.lost_thresh)
         )
-        new_state = new_state._replace(frame_idx=state.frame_idx + 1)
+
+        # PnP also runs unconditionally (sub-ms); its result is only *applied*
+        # in the keyframe branch (image_processor.cpp:71-80).
+        world_pts = get_world_points(state.window, tracked.feat_ids)
+        res = pnp_ransac(
+            world_pts, tracked.feat_xy, tracked.feat_valid,
+            cfg.camera, state.pnp_pose,
+            state.frame_idx.astype(jnp.uint32), cfg.frontend,
+        )
+        do_keyframe = accept & res.ok
+
+        # ---- keyframe branch over SMALL state only -----------------------
+        small = (
+            state.window, state.pnp_pose, state.cur_pose,
+            tracked.feat_xy, tracked.feat_ids, tracked.feat_valid,
+        )
+
+        def keyframe(args):
+            window, pnp_pose, cur_pose, feat_xy, feat_ids, feat_valid = args
+            pose = res.pose
+            # keyframe observations = PnP inliers only (image_processor.cpp:95-108)
+            inlier_valid = feat_valid & res.inliers
+            # dedup new detections vs inlier tracked (image_processor.cpp:113-128)
+            new_valid = dedup_new_features(
+                det_xy, det_valid, feat_xy, inlier_valid,
+                cfg.frontend.min_distance,
+            )
+            disp = stereo_bm_disparity(
+                left_f, right_f,
+                num_disparities=cfg.frontend.bm_num_disparities,
+                block_size=cfg.frontend.bm_block_size,
+                prefilter_cap=cfg.frontend.bm_prefilter_cap,
+                texture_threshold=cfg.frontend.bm_texture_threshold,
+                uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
+            )
+            p3_new, tri_valid = triangulate_features(
+                disp, det_xy, new_valid, cfg.camera, pose
+            )
+            window, new_ids, new_ids_valid = add_keyframe(
+                window, cfg.backend, pose,
+                feat_xy, feat_ids, inlier_valid,
+                _pad_to(det_xy, f_cap), _pad_to(p3_new, f_cap),
+                _pad_to(tri_valid, f_cap),
+            )
+            window, ba_stats = bundle_adjust(window, cfg.camera, cfg.backend)
+            opt_pose = newest_pose(window)
+
+            # tracker re-init slots: inlier tracked + new features
+            # (image_processor.cpp:146-162)
+            cat_xy = jnp.concatenate([feat_xy, _pad_to(det_xy, f_cap)], axis=0)
+            cat_ids = jnp.concatenate([feat_ids, new_ids], axis=0)
+            cat_valid = jnp.concatenate([inlier_valid, new_ids_valid], axis=0)
+            order = jnp.argsort(jnp.logical_not(cat_valid), stable=True)
+            n_newlm = jnp.sum(new_ids_valid.astype(jnp.int32))
+            return (
+                window, res.pose, opt_pose,
+                cat_xy[order][:f_cap], cat_ids[order][:f_cap],
+                cat_valid[order][:f_cap],
+            ), (ba_stats.initial_cost, ba_stats.final_cost, ba_stats.iterations,
+                n_newlm, jnp.array(True))
+
+        def non_keyframe(args):
+            zf = jnp.array(0.0, jnp.float32)
+            return args, (zf, zf, jnp.array(0, jnp.int32),
+                          jnp.array(0, jnp.int32), jnp.array(False))
+
+        (window, pnp_pose, cur_pose, slot_xy, slot_ids, slot_valid), (
+            ba_c0, ba_c1, ba_iters, n_newlm, was_kf
+        ) = jax.lax.cond(do_keyframe, keyframe, non_keyframe, small)
+
+        # ---- reassemble tracker state with elementwise selects ------------
+        # pyramid: new one unless the frame was skipped entirely
+        new_pyramid = tuple(
+            jnp.where(has_det, new_l, old_l)
+            for new_l, old_l in zip(pyr, state.tracker.pyramid)
+        )
+        def sel(kf_val, track_val, old_val):
+            return jnp.where(was_kf, kf_val, jnp.where(has_det, track_val, old_val))
+
+        tr = state.tracker
+        new_tracker = TrackerState(
+            pyramid=new_pyramid,
+            feat_xy=sel(slot_xy, tracked.feat_xy, tr.feat_xy),
+            feat_ids=sel(slot_ids, tracked.feat_ids, tr.feat_ids),
+            feat_valid=sel(slot_valid, tracked.feat_valid, tr.feat_valid),
+            init_xy=sel(slot_xy, tr.init_xy, tr.init_xy),
+            init_count=sel(
+                jnp.sum(slot_valid.astype(jnp.int32)), tr.init_count, tr.init_count
+            ),
+        )
+
+        new_state = VOState(
+            tracker=new_tracker,
+            window=window,
+            pnp_pose=pnp_pose,
+            cur_pose=cur_pose,
+            frame_idx=state.frame_idx + 1,
+            initialized=state.initialized,
+        )
+
+        zero = jnp.array(0, jnp.int32)
+        out = StepOutput(
+            pose_cw=cur_pose,
+            pose_wc=geo.pose_inverse(cur_pose),
+            is_keyframe=was_kf,
+            pnp_ok=jnp.where(accept, res.ok, jnp.array(True)),
+            num_detected=n_det,
+            num_tracked=jnp.where(has_det, stats.num_tracked, zero),
+            num_inliers=jnp.where(accept, res.num_inliers, zero),
+            num_new_landmarks=n_newlm,
+            av_parallax=jnp.where(has_det, stats.av_parallax, 0.0),
+            percent_lost=jnp.where(has_det, stats.percent_lost, 0.0),
+            ba_initial_cost=ba_c0,
+            ba_final_cost=ba_c1,
+            ba_iterations=ba_iters,
+            track_from=tr.init_xy,
+            track_to=jnp.where(has_det, tracked.feat_xy, tr.feat_xy),
+            track_valid=jnp.where(was_kf, tracked.feat_valid & res.inliers,
+                                  jnp.where(has_det, tracked.feat_valid, tr.feat_valid)),
+        )
         return new_state, out

@@ -27,7 +27,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 from stereo_vo_tpu.core.config import FrontendConfig
-from stereo_vo_tpu.ops.lk import lk_track_pyramid
+from stereo_vo_tpu.ops.lk import lk_track_fwdbwd, lk_track_pyramid
 
 
 class TrackerState(NamedTuple):
@@ -69,20 +69,21 @@ def track_step(
     flow_back: bool = True,
 ) -> Tuple[TrackerState, TrackStats]:
     """One tracking update (``FeatureTracker::track_features``)."""
-    fwd_xy, fwd_ok = lk_track_pyramid(
-        list(state.pyramid), list(new_pyramid), state.feat_xy, state.feat_valid,
-        window=cfg.lk_window, max_iters=cfg.lk_iters, eps=cfg.lk_eps,
-        min_eig_threshold=cfg.lk_min_eig,
-    )
-    ok = fwd_ok
     if flow_back:
-        bwd_xy, bwd_ok = lk_track_pyramid(
-            list(new_pyramid), list(state.pyramid), fwd_xy, fwd_ok,
-            window=cfg.lk_window, max_iters=cfg.lk_iters, eps=cfg.lk_eps,
-            min_eig_threshold=cfg.lk_min_eig,
+        fwd_xy, fwd_ok, bwd_xy, bwd_ok = lk_track_fwdbwd(
+            list(state.pyramid), list(new_pyramid), state.feat_xy,
+            state.feat_valid, window=cfg.lk_window, max_iters=cfg.lk_iters,
+            eps=cfg.lk_eps, min_eig_threshold=cfg.lk_min_eig,
         )
         roundtrip = jnp.linalg.norm(state.feat_xy - bwd_xy, axis=1)
-        ok = ok & bwd_ok & (roundtrip < cfg.fb_thresh)
+        ok = fwd_ok & bwd_ok & (roundtrip < cfg.fb_thresh)
+    else:
+        fwd_xy, fwd_ok = lk_track_pyramid(
+            list(state.pyramid), list(new_pyramid), state.feat_xy,
+            state.feat_valid, window=cfg.lk_window, max_iters=cfg.lk_iters,
+            eps=cfg.lk_eps, min_eig_threshold=cfg.lk_min_eig,
+        )
+        ok = fwd_ok
 
     parallax = jnp.linalg.norm(fwd_xy - state.init_xy, axis=1)
     ok = ok & (parallax <= cfg.max_parallax)

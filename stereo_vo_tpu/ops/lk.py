@@ -226,3 +226,171 @@ def lk_track_pyramid(
         if lvl > 0:
             guess = guess * 2.0
     return guess, ok & valid
+
+
+# ---------------------------------------------------------------------------
+# Fused forward + backward tracking (the frontend's hot path).
+#
+# Per level, only TWO region extractions happen (prev + gradients at the
+# feature points; next + gradients at the forward entry guesses) and both
+# passes sample from them: forward templates from the prev regions and
+# J-patches from the next regions; the backward pass reuses the *same* regions
+# with roles swapped (its start points — the forward endpoints — lie within
+# the next regions because per-level movement is bounded by the slack, and its
+# targets approach the prev regions' centers). Region extraction is the only
+# serialized op in LK, so halving it matters more than any math inside.
+# ---------------------------------------------------------------------------
+
+
+def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
+                max_iters, eps, min_eig_threshold, region_org_j, m):
+    """Shared Gauss-Newton loop: template from regions_t at tpl_pos (region
+    coords), iterate guess over regions_j (image coords)."""
+    win = 2 * half + 1
+    r_size = regions_t.shape[-1]
+    win_area = float(win * win)
+
+    tpl = _sample(regions_t, tpl_pos, win)
+    t_patch, gx_p, gy_p = tpl[:, 0], tpl[:, 1], tpl[:, 2]
+
+    g11 = jnp.sum(gx_p * gx_p, axis=(1, 2))
+    g12 = jnp.sum(gx_p * gy_p, axis=(1, 2))
+    g22 = jnp.sum(gy_p * gy_p, axis=(1, 2))
+    tr = g11 + g22
+    det = g11 * g22 - g12 * g12
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5
+    eig_ok = (min_eig / win_area) >= min_eig_threshold
+    det_ok = det > 1e-12
+    solvable = eig_ok & det_ok & active
+
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv11 = jnp.where(det_ok, g22 / safe_det, 0.0)
+    inv12 = jnp.where(det_ok, -g12 / safe_det, 0.0)
+    inv22 = jnp.where(det_ok, g11 / safe_det, 0.0)
+
+    org = region_org_j.astype(guess.dtype)
+
+    def in_region(g):
+        pos = g - half + m - org
+        return (
+            (pos[:, 0] >= 0) & (pos[:, 0] <= r_size - win - 1)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= r_size - win - 1)
+        )
+
+    def body(state):
+        guess, converged, it = state
+        pos = jnp.clip(guess - half + m - org, 0.0, float(r_size - win - 1))
+        j_patch = _sample(regions_j[:, :1], pos, win)[:, 0]
+        di = j_patch - t_patch
+        bx = jnp.sum(di * gx_p, axis=(1, 2))
+        by = jnp.sum(di * gy_p, axis=(1, 2))
+        step = jnp.stack(
+            [-(inv11 * bx + inv12 * by), -(inv12 * bx + inv22 * by)], axis=-1
+        )
+        upd = solvable & ~converged
+        new_guess = jnp.where(upd[:, None], guess + step, guess)
+        small = jnp.sum(step * step, axis=-1) < eps * eps
+        return new_guess, converged | small | ~in_region(new_guess) | ~solvable, it + 1
+
+    def cond(state):
+        _, converged, it = state
+        return (it < max_iters) & ~jnp.all(converged)
+
+    guess, _, _ = jax.lax.while_loop(cond, body, (guess, ~solvable, 0))
+    return guess, solvable, in_region
+
+
+def lk_track_fwdbwd(
+    prev_pyr: List[jnp.ndarray],
+    next_pyr: List[jnp.ndarray],
+    pts: jnp.ndarray,
+    valid: jnp.ndarray,
+    window: int = 21,
+    max_iters: int = 30,
+    eps: float = 0.01,
+    min_eig_threshold: float = 1e-2,
+    slack: int = LK_SLACK,
+):
+    """Forward track + backward verification in one fused pass.
+
+    Returns ``(tracked [N, 2], fwd_ok [N], back [N, 2], bwd_ok [N])`` — the
+    backward result is the round-trip endpoint for the 2 px gate
+    (``feature_tracker.cpp:31-47``).
+    """
+    half = window // 2
+    m = half + slack + 1
+    n_levels = len(prev_pyr)
+    win = 2 * half + 1
+    r_size = win + 2 * slack + 1
+
+    # ---------- forward pass, caching regions per level
+    scale_top = float(2 ** (n_levels - 1))
+    guess = pts / scale_top
+    ok = valid
+    cache = []
+    for lvl in range(n_levels - 1, -1, -1):
+        prev_img = prev_pyr[lvl]
+        next_img = next_pyr[lvl]
+        h, w = prev_img.shape
+        prev_stack = jnp.stack([prev_img, scharr_x(prev_img), scharr_y(prev_img)])
+        next_stack = jnp.stack([next_img, scharr_x(next_img), scharr_y(next_img)])
+        prev_p = _pad_edge(prev_stack, m)
+        next_p = _pad_edge(next_stack, m)
+        hp, wp = prev_p.shape[-2:]
+
+        def origins(centers):
+            ox = jnp.clip(
+                jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m,
+                0, wp - r_size)
+            oy = jnp.clip(
+                jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m,
+                0, hp - r_size)
+            return jnp.stack([ox, oy], axis=1)
+
+        pts_l = pts / float(2 ** lvl)
+        prev_org = origins(pts_l)
+        next_org = origins(guess)
+        prev_reg = _extract_regions(prev_p, prev_org, r_size)
+        next_reg = _extract_regions(next_p, next_org, r_size)
+        cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w)))
+
+        tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)
+        guess, solvable, in_region = _gn_iterate(
+            prev_reg, next_reg, tpl_pos, guess, ok, half, slack,
+            max_iters, eps, min_eig_threshold, next_org, m,
+        )
+        if lvl == 0:
+            inside = (
+                (guess[:, 0] >= 0) & (guess[:, 0] <= w - 1)
+                & (guess[:, 1] >= 0) & (guess[:, 1] <= h - 1)
+            ) & in_region(guess)
+            fwd_ok = solvable & inside & valid
+        if lvl > 0:
+            guess = guess * 2.0
+    tracked = guess
+
+    # ---------- backward pass over the cached regions (roles swapped)
+    bguess = tracked / scale_top
+    bok = fwd_ok
+    for (lvl, prev_reg, next_reg, prev_org, next_org, (h, w)) in cache:
+        tracked_l = tracked / float(2 ** lvl)
+        # backward template: next image at the forward endpoint (inside the
+        # next region as long as the per-level motion stayed within slack)
+        tpl_pos = jnp.clip(
+            tracked_l - half + m - next_org.astype(pts.dtype),
+            0.0, float(r_size - win - 1),
+        )
+        bguess, bsolv, b_in_region = _gn_iterate(
+            next_reg, prev_reg, tpl_pos, bguess, bok, half, slack,
+            max_iters, eps, min_eig_threshold, prev_org, m,
+        )
+        if lvl == 0:
+            binside = (
+                (bguess[:, 0] >= 0) & (bguess[:, 0] <= w - 1)
+                & (bguess[:, 1] >= 0) & (bguess[:, 1] <= h - 1)
+            ) & b_in_region(bguess)
+            bwd_ok = bsolv & binside & fwd_ok
+        if lvl > 0:
+            bguess = bguess * 2.0
+
+    return tracked, fwd_ok, bguess, bwd_ok

@@ -84,11 +84,15 @@ def stereo_bm_disparity(
         & (xs[None, :] < w - radius)
     )
 
-    # sub-pixel parabola around the minimum
+    # sub-pixel parabola around the minimum. Neighbor costs are extracted with
+    # one-hot masked reductions over the disparity axis — a per-pixel
+    # take_along_axis gather over the [D, H, W] volume costs ~5 ms on TPU,
+    # while three masked reduce passes are bandwidth-bound (<1 ms).
     d0 = jnp.clip(best_d, 1, num_disparities - 2)
-    c_m = jnp.take_along_axis(costs, (d0 - 1)[None], axis=0)[0]
-    c_0 = jnp.take_along_axis(costs, d0[None], axis=0)[0]
-    c_p = jnp.take_along_axis(costs, (d0 + 1)[None], axis=0)[0]
+    d0b = d0[None]
+    c_m = jnp.sum(jnp.where(ds == d0b - 1, costs, 0.0), axis=0)
+    c_0 = jnp.sum(jnp.where(ds == d0b, costs, 0.0), axis=0)
+    c_p = jnp.sum(jnp.where(ds == d0b + 1, costs, 0.0), axis=0)
     denom = jnp.maximum(c_m + c_p - 2.0 * c_0, 1e-9)
     delta = jnp.clip((c_m - c_p) / (2.0 * denom), -0.5, 0.5)
     disp = jnp.where(best_d == d0, best_d + delta, best_d.astype(jnp.float32))
