@@ -141,6 +141,8 @@ class VOEngine:
         self.step = jax.jit(self._step)
         self.bootstrap = jax.jit(self._bootstrap)
         self.replay_chunk = jax.jit(self._replay_chunk)
+        self.batched_bootstrap = jax.jit(jax.vmap(self._bootstrap))
+        self.batched_replay_chunk = jax.jit(self._batched_replay_chunk)
 
     def _replay_chunk(self, state: "VOState", lefts, rights):
         """Process a whole chunk of frames in one device program (lax.scan).
@@ -156,6 +158,29 @@ class VOEngine:
 
         state, (poses, summaries) = jax.lax.scan(body, state, (lefts, rights))
         return state, poses, summaries
+
+    def _batched_replay_chunk(self, states, lefts, rights):
+        """Replay a chunk for B independent sequences at once (vmapped step).
+
+        ``states`` is a batched VOState (leading axis B); ``lefts/rights`` are
+        ``[K, B, H, W]``. Throughput mode for multi-sequence workloads
+        (mapping/offline sweeps): the vmapped step turns the per-feature and
+        per-pixel ops into batched ones the TPU executes at far better
+        utilization. Note vmap converts the keyframe ``cond`` into both-branch
+        execution, so this pays keyframe cost every frame — worth it for B >= 2.
+        Returns ``(states, poses [K, B, 7], summaries [K, B, 18])``.
+        """
+
+        def one(s, l, r):
+            s, out = self._step(s, l, r)
+            return s, (out.pose_cw, out.summary)
+
+        def body(st, lr):
+            st, (p, sm) = jax.vmap(one)(st, lr[0], lr[1])
+            return st, (p, sm)
+
+        states, (poses, summaries) = jax.lax.scan(body, states, (lefts, rights))
+        return states, poses, summaries
 
     # ------------------------------------------------------------------
     def init_state(self) -> VOState:

@@ -50,18 +50,18 @@ def _pad_edge(img: jnp.ndarray, m: int) -> jnp.ndarray:
     return jnp.pad(img, pad, mode="edge")
 
 
-def _extract_regions(stack_padded: jnp.ndarray, origins: jnp.ndarray, r_size: int):
+def _extract_regions(stack_padded: jnp.ndarray, origins: jnp.ndarray,
+                     ry: int, rx: int):
     """Per-feature region extraction: ``[C, Hp, Wp]``, origins ``[N, 2]`` (x, y)
-    in padded coordinates -> ``[N, C, R, R]``.
+    in padded coordinates -> ``[N, C, RY, RX]``.
 
-    Done once per level (batched dynamic-slice; the only non-dense op in LK).
+    Done once per level — the only non-dense op in LK. On TPU this dispatches
+    to a Pallas DMA kernel (row origins must be 8-aligned, which the callers
+    guarantee); elsewhere it falls back to a batched dynamic-slice.
     """
-    c = stack_padded.shape[0]
-    return jax.vmap(
-        lambda oy, ox: jax.lax.dynamic_slice(
-            stack_padded, (0, oy, ox), (c, r_size, r_size)
-        )
-    )(origins[:, 1], origins[:, 0])
+    from stereo_vo_tpu.ops.pallas_extract import extract_regions
+
+    return extract_regions(stack_padded, origins, ry, rx)
 
 
 def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
@@ -76,15 +76,15 @@ def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
 
 
 def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
-    """Sample ``[N, C, win, win]`` windows from ``[N, C, R, R]`` regions at
+    """Sample ``[N, C, win, win]`` windows from ``[N, C, RY, RX]`` regions at
     continuous region coordinates ``pos [N, 2]`` (x, y of window top-left)."""
-    r_size = regions.shape[-1]
+    ry, rx = regions.shape[-2], regions.shape[-1]
     x0 = jnp.floor(pos[:, 0])
     y0 = jnp.floor(pos[:, 1])
     fx = pos[:, 0] - x0
     fy = pos[:, 1] - y0
-    rowsel = _soft_selector(y0.astype(jnp.int32), fy, win, r_size)  # [N, w, R]
-    colsel = _soft_selector(x0.astype(jnp.int32), fx, win, r_size)  # [N, w, R]
+    rowsel = _soft_selector(y0.astype(jnp.int32), fy, win, ry)  # [N, w, RY]
+    colsel = _soft_selector(x0.astype(jnp.int32), fx, win, rx)  # [N, w, RX]
     tmp = jnp.einsum("nar,ncrs->ncas", rowsel, regions,
                      preferred_element_type=jnp.float32)
     return jnp.einsum("ncas,nbs->ncab", tmp, colsel,
@@ -99,7 +99,8 @@ def _lk_level(
     """One pyramid level of LK for all features (region + MXU sampling)."""
     h, w = img_shape
     win = 2 * half + 1
-    r_size = win + 2 * slack + 1   # window + slack each side + bilinear margin
+    rx = win + 2 * slack + 1       # window + slack each side + bilinear margin
+    ry = rx + 8                    # extra rows so origins can align to 8 (DMA)
     m = half + slack + 1           # image pad
     win_area = float(win * win)
 
@@ -108,22 +109,21 @@ def _lk_level(
     hp, wp = stack_p.shape[-2:]
 
     # Region origin (padded coords): centered on the *template* point for prev,
-    # on the initial guess for next.
+    # on the initial guess for next. Row origins align down to a multiple of 8
+    # (sublane tiling) so the Pallas DMA path can slice HBM directly.
     def origins(centers):
         ox = jnp.clip(
             jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m,
-            0, wp - r_size,
+            0, wp - rx,
         )
-        oy = jnp.clip(
-            jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m,
-            0, hp - r_size,
-        )
+        oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m
+        oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
         return jnp.stack([ox, oy], axis=1)
 
     prev_org = origins(pts_prev)
     next_org = origins(guess)
-    prev_reg = _extract_regions(stack_p, prev_org, r_size)   # [N, 3, R, R]
-    next_reg = _extract_regions(next_p, next_org, r_size)    # [N, 1, R, R]
+    prev_reg = _extract_regions(stack_p, prev_org, ry, rx)   # [N, 3, RY, RX]
+    next_reg = _extract_regions(next_p, next_org, ry, rx)    # [N, 1, RY, RX]
 
     # Continuous region coordinates of a window top-left for image point p:
     # (p - half) + m - origin.
@@ -151,14 +151,15 @@ def _lk_level(
     def in_region(g):
         pos = g - half + m - next_org_f
         return (
-            (pos[:, 0] >= 0) & (pos[:, 0] <= r_size - win - 1)
-            & (pos[:, 1] >= 0) & (pos[:, 1] <= r_size - win - 1)
+            (pos[:, 0] >= 0) & (pos[:, 0] <= rx - win - 1)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
         )
 
     def body(state):
         guess, converged, it = state
         pos = guess - half + m - next_org_f
-        pos = jnp.clip(pos, 0.0, float(r_size - win - 1))
+        pos = jnp.clip(pos, 0.0, None)
+        pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
         j_patch = _sample(next_reg, pos, win)[:, 0]
         di = j_patch - t_patch
         bx = jnp.sum(di * gx_p, axis=(1, 2))
@@ -247,7 +248,7 @@ def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
     """Shared Gauss-Newton loop: template from regions_t at tpl_pos (region
     coords), iterate guess over regions_j (image coords)."""
     win = 2 * half + 1
-    r_size = regions_t.shape[-1]
+    ry, rx = regions_j.shape[-2], regions_j.shape[-1]
     win_area = float(win * win)
 
     tpl = _sample(regions_t, tpl_pos, win)
@@ -273,13 +274,14 @@ def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
     def in_region(g):
         pos = g - half + m - org
         return (
-            (pos[:, 0] >= 0) & (pos[:, 0] <= r_size - win - 1)
-            & (pos[:, 1] >= 0) & (pos[:, 1] <= r_size - win - 1)
+            (pos[:, 0] >= 0) & (pos[:, 0] <= rx - win - 1)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
         )
 
     def body(state):
         guess, converged, it = state
-        pos = jnp.clip(guess - half + m - org, 0.0, float(r_size - win - 1))
+        pos = jnp.clip(guess - half + m - org, 0.0, None)
+        pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
         j_patch = _sample(regions_j[:, :1], pos, win)[:, 0]
         di = j_patch - t_patch
         bx = jnp.sum(di * gx_p, axis=(1, 2))
@@ -321,7 +323,8 @@ def lk_track_fwdbwd(
     m = half + slack + 1
     n_levels = len(prev_pyr)
     win = 2 * half + 1
-    r_size = win + 2 * slack + 1
+    rx = win + 2 * slack + 1
+    ry = rx + 8
 
     # ---------- forward pass, caching regions per level
     scale_top = float(2 ** (n_levels - 1))
@@ -341,17 +344,16 @@ def lk_track_fwdbwd(
         def origins(centers):
             ox = jnp.clip(
                 jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m,
-                0, wp - r_size)
-            oy = jnp.clip(
-                jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m,
-                0, hp - r_size)
+                0, wp - rx)
+            oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m
+            oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
             return jnp.stack([ox, oy], axis=1)
 
         pts_l = pts / float(2 ** lvl)
         prev_org = origins(pts_l)
         next_org = origins(guess)
-        prev_reg = _extract_regions(prev_p, prev_org, r_size)
-        next_reg = _extract_regions(next_p, next_org, r_size)
+        prev_reg = _extract_regions(prev_p, prev_org, ry, rx)
+        next_reg = _extract_regions(next_p, next_org, ry, rx)
         cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w)))
 
         tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)
@@ -376,9 +378,9 @@ def lk_track_fwdbwd(
         tracked_l = tracked / float(2 ** lvl)
         # backward template: next image at the forward endpoint (inside the
         # next region as long as the per-level motion stayed within slack)
-        tpl_pos = jnp.clip(
-            tracked_l - half + m - next_org.astype(pts.dtype),
-            0.0, float(r_size - win - 1),
+        tpl_pos = jnp.clip(tracked_l - half + m - next_org.astype(pts.dtype), 0.0, None)
+        tpl_pos = jnp.minimum(
+            tpl_pos, jnp.array([rx - win - 1, ry - win - 1], tpl_pos.dtype)
         )
         bguess, bsolv, b_in_region = _gn_iterate(
             next_reg, prev_reg, tpl_pos, bguess, bok, half, slack,
