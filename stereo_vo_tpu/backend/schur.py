@@ -251,6 +251,8 @@ class LandmarkMajorProblem(NamedTuple):
     lm_valid: jnp.ndarray    # [L]
     obs_uv: jnp.ndarray      # [L, W, 2]
     obs_valid: jnp.ndarray   # [L, W]
+    lm_prior: jnp.ndarray    # [L, 3] stereo-triangulation prior position
+    lm_prior_w: jnp.ndarray  # [L] prior inverse variance (0 = none)
 
 
 def window_to_landmark_major(window: WindowState) -> LandmarkMajorProblem:
@@ -277,6 +279,8 @@ def window_to_landmark_major(window: WindowState) -> LandmarkMajorProblem:
         lm_valid=window.lm_valid,
         obs_uv=obs_uv,
         obs_valid=obs_valid,
+        lm_prior=window.lm_prior,
+        lm_prior_w=window.lm_prior_w,
     )
 
 
@@ -297,6 +301,10 @@ def _lm_major_cost(poses, lm_pos, prob: LandmarkMajorProblem, cam, min_depth, ax
     )
     r = jnp.where(mask[..., None], r, 0.0)
     cost = 0.5 * jnp.sum(r * r)
+    # stereo prior term (anchors the monocular BA's free scale mode)
+    dp = lm_pos - prob.lm_prior
+    pw = jnp.where(prob.lm_valid, prob.lm_prior_w, 0.0)
+    cost = cost + 0.5 * jnp.sum(pw[:, None] * dp * dp)
     if axis is not None:
         cost = jax.lax.psum(cost, axis)
     return cost
@@ -329,6 +337,10 @@ def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis
     # landmark-local blocks (no scatter needed in this layout)
     v = jnp.einsum("lwri,lwrj->lij", jl, jl)            # [L, 3, 3]
     g_l = -jnp.einsum("lwri,lwr->li", jl, r)            # [L, 3]
+    # stereo prior contributes only to the landmark block and gradient
+    pw = jnp.where(prob.lm_valid, prob.lm_prior_w, 0.0)
+    v = v + pw[:, None, None] * jnp.eye(3, dtype=dtype)
+    g_l = g_l + pw[:, None] * (prob.lm_prior - lm_pos)
     wl = jnp.einsum("lwri,lwrj->lwij", jp6, jl)         # [L, W, 6, 3]
     u_part = jnp.einsum("lwri,lwrj->wij", jp6, jp6)     # [W, 6, 6] partial
     g_p_part = -jnp.einsum("lwri,lwr->wi", jp6, r)      # [W, 6] partial
@@ -412,4 +424,5 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
     (poses, lm_pos, _, cost, accepted), rels = jax.lax.scan(
         body, init, None, length=cfg.max_lm_iters
     )
-    return poses, lm_pos, cost0, cost, accepted, rels[-1]
+    last_rel = rels[-1] if cfg.max_lm_iters > 0 else jnp.zeros_like(cost0)
+    return poses, lm_pos, cost0, cost, accepted, last_rel

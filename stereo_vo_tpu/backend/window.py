@@ -39,6 +39,13 @@ class WindowState(NamedTuple):
     lm_pos: jnp.ndarray       # [L, 3] float
     lm_refcount: jnp.ndarray  # [L] int32
     lm_valid: jnp.ndarray     # [L] bool
+    # Stereo-triangulation prior per landmark: position at creation and an
+    # isotropic inverse variance derived from the stereo depth-noise model.
+    # The reference discards the stereo measurement after initialization,
+    # leaving its monocular-factor BA with a free scale mode that drifts; the
+    # prior anchors it (deliberate accuracy fix, weight configurable).
+    lm_prior: jnp.ndarray     # [L, 3] float
+    lm_prior_w: jnp.ndarray   # [L] float (1/sigma^2; 0 = no prior)
     num_kf: jnp.ndarray       # [] int32, total keyframes ever added
 
     @property
@@ -65,6 +72,8 @@ def empty_window(cfg: BackendConfig, dtype=jnp.float32) -> WindowState:
         lm_pos=jnp.zeros((l, 3), dtype),
         lm_refcount=jnp.zeros((l,), jnp.int32),
         lm_valid=jnp.zeros((l,), bool),
+        lm_prior=jnp.zeros((l, 3), dtype),
+        lm_prior_w=jnp.zeros((l,), dtype),
         num_kf=jnp.array(0, jnp.int32),
     )
 
@@ -89,6 +98,7 @@ def add_keyframe(
     new_uv: jnp.ndarray,
     new_p3: jnp.ndarray,
     new_valid: jnp.ndarray,
+    new_prior_w: jnp.ndarray = None,
 ) -> Tuple[WindowState, jnp.ndarray, jnp.ndarray]:
     """Add a keyframe; evict the oldest pose if the window overflows.
 
@@ -123,6 +133,10 @@ def add_keyframe(
     lm_pos = state.lm_pos.at[scat_ids].set(new_p3, mode="drop")
     lm_refcount = state.lm_refcount.at[scat_ids].add(1, mode="drop")
     lm_valid = state.lm_valid.at[scat_ids].set(True, mode="drop")
+    if new_prior_w is None:
+        new_prior_w = jnp.zeros(new_valid.shape, state.lm_prior_w.dtype)
+    lm_prior = state.lm_prior.at[scat_ids].set(new_p3, mode="drop")
+    lm_prior_w = state.lm_prior_w.at[scat_ids].set(new_prior_w, mode="drop")
 
     # --- tracked features: bump refcounts (bundle_adjuster.cpp:77).
     lm_refcount = lm_refcount.at[jnp.where(tracked_valid, tracked_lm, 0)].add(
@@ -168,7 +182,8 @@ def add_keyframe(
             lm_valid=valid,
         )
 
-    mid = state._replace(lm_pos=lm_pos, lm_refcount=lm_refcount, lm_valid=lm_valid)
+    mid = state._replace(lm_pos=lm_pos, lm_refcount=lm_refcount, lm_valid=lm_valid,
+                         lm_prior=lm_prior, lm_prior_w=lm_prior_w)
     out = jax.lax.cond(window_full, insert_full, insert_not_full, mid)
     out = out._replace(num_kf=state.num_kf + 1)
     return out, new_ids, new_valid

@@ -74,9 +74,13 @@ class BackendConfig:
     # a fixed iteration count tuned to land at equivalent accuracy.
     max_lm_iters: int = 12
     init_damping: float = 1e-4
-    min_damping: float = 1e-10
+    min_damping: float = 1e-6
     max_damping: float = 1e8
     min_depth: float = 1e-3        # cheirality guard for residual masking
+    # Stereo-triangulation landmark prior: anchors the scale mode the
+    # reference's monocular-factor BA leaves free (deliberate accuracy fix;
+    # set sigma <= 0 to disable and match reference behavior exactly).
+    stereo_prior_sigma_px: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

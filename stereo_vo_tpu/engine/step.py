@@ -231,6 +231,13 @@ class VOEngine:
             identity = geo.pose_identity()
             p3, tri_valid = triangulate_features(disp, det_xy, det_valid,
                                                  cfg.camera, identity)
+            sigma_d = cfg.backend.stereo_prior_sigma_px
+            if sigma_d > 0:
+                fb = cfg.camera.focal * cfg.camera.baseline
+                w_new = (fb / (jnp.maximum(p3[:, 2], 1.0) ** 2 * sigma_d)) ** 2
+                w_new = jnp.where(tri_valid, w_new, 0.0)
+            else:
+                w_new = jnp.zeros(p3.shape[0], jnp.float32)
             new_uv = _pad_to(det_xy, f_cap)
             new_p3 = _pad_to(p3, f_cap)
             new_valid = _pad_to(tri_valid, f_cap)
@@ -240,6 +247,7 @@ class VOEngine:
             window, ids, ids_valid = add_keyframe(
                 state.window, cfg.backend, identity,
                 no_uv, no_lm, no_valid, new_uv, new_p3, new_valid,
+                _pad_to(w_new, f_cap),
             )
             pyr = build_pyramid(left_f, cfg.frontend.lk_max_level)
             tracker = tracker_init(tuple(pyr), new_uv, ids, ids_valid)
@@ -340,11 +348,20 @@ class VOEngine:
             p3_new, tri_valid = triangulate_features(
                 disp, det_xy, new_valid, cfg.camera, pose
             )
+            # stereo depth-noise prior weight: sigma_z = z^2 sigma_d / (f b)
+            z_new = geo.pose_apply(pose[None, :], p3_new)[:, 2]
+            sigma_d = cfg.backend.stereo_prior_sigma_px
+            if sigma_d > 0:
+                fb = cfg.camera.focal * cfg.camera.baseline
+                w_new = (fb / (jnp.maximum(z_new, 1.0) ** 2 * sigma_d)) ** 2
+                w_new = jnp.where(tri_valid, w_new, 0.0)
+            else:
+                w_new = jnp.zeros_like(z_new)
             window, new_ids, new_ids_valid = add_keyframe(
                 window, cfg.backend, pose,
                 feat_xy, feat_ids, inlier_valid,
                 _pad_to(det_xy, f_cap), _pad_to(p3_new, f_cap),
-                _pad_to(tri_valid, f_cap),
+                _pad_to(tri_valid, f_cap), _pad_to(w_new, f_cap),
             )
             window, ba_stats = bundle_adjust(window, cfg.camera, cfg.backend)
             opt_pose = newest_pose(window)

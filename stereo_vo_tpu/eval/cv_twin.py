@@ -1,0 +1,175 @@
+"""OpenCV-based algorithmic twin of the reference pipeline.
+
+A faithful host-side reimplementation of the reference's frontend loop
+(``image_processor.cpp:18-163``) using the same OpenCV calls the reference
+makes — goodFeaturesToTrack, calcOpticalFlowPyrLK (forward + backward),
+StereoBM, solvePnPRansac — with the same constants. No Ceres dependency exists
+in this image, so the windowed BA is optional and provided by the framework's
+own CPU solver when requested.
+
+Used by the benchmark harness and parity tests: it provides an empirical
+reference trajectory/ATE and CPU timing envelope on machines where the C++
+reference itself cannot run (BASELINE.md "Measurement plan").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from stereo_vo_tpu.core.camera import CameraInfo
+from stereo_vo_tpu.core.config import FrontendConfig
+
+
+def run_cv_twin(
+    frames,
+    cam: CameraInfo,
+    cfg: Optional[FrontendConfig] = None,
+    max_frames: Optional[int] = None,
+):
+    """Replay ``frames`` through the OpenCV twin.
+
+    Returns ``(poses [N, 7] T_cw, stats list, elapsed_seconds)``.
+    """
+    import cv2
+
+    import jax.numpy as jnp
+
+    from stereo_vo_tpu.core import geometry as geo
+
+    cfg = cfg or FrontendConfig()
+    k_mat = np.array(
+        [[cam.focal, 0, cam.cx], [0, cam.focal, cam.cy], [0, 0, 1]], np.float64
+    )
+    bm = cv2.StereoBM.create(cfg.bm_num_disparities, cfg.bm_block_size)
+
+    def triangulate(pts2d, left, right, t_wc_mat):
+        disp = bm.compute(left, right).astype(np.float32) / 16.0
+        keep3d, keep2d = [], []
+        h, w = disp.shape
+        for u, v in pts2d:
+            ui, vi = int(u), int(v)
+            if not (0 <= ui < w and 0 <= vi < h):
+                continue
+            d = disp[vi, ui]
+            if d <= 0:
+                continue
+            z = cam.focal * cam.baseline / d
+            p_cam = np.array(
+                [(u - cam.cx) / cam.focal * z, (v - cam.cy) / cam.focal * z, z, 1.0]
+            )
+            p_w = t_wc_mat @ p_cam
+            keep3d.append(p_w[:3] / p_w[3])
+            keep2d.append((u, v))
+        return np.array(keep3d, np.float32), np.array(keep2d, np.float32)
+
+    poses = []
+    stats = []
+    rvec = np.zeros((3, 1))
+    tvec = np.zeros((3, 1))
+    prev_img = None
+    feat_xy = None          # tracked feature positions
+    feat_p3 = None          # their world points
+    init_xy = None
+    init_count = 0
+    cur_pose7 = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+
+    t0 = time.perf_counter()
+    n = 0
+    for fr in frames:
+        if max_frames is not None and n >= max_frames:
+            break
+        left, right = fr.left, fr.right
+        detected = cv2.goodFeaturesToTrack(
+            left, cfg.max_detect, cfg.quality_level, cfg.min_distance
+        )
+        is_kf = False
+        if detected is None or len(detected) < cfg.min_detected:
+            poses.append(cur_pose7.copy())
+            stats.append({"is_keyframe": False})
+            n += 1
+            continue
+        detected = detected.reshape(-1, 2)
+
+        if feat_xy is None:
+            # bootstrap (image_processor.cpp:30-58)
+            p3, p2 = triangulate(detected, left, right, np.eye(4))
+            feat_xy, feat_p3, init_xy, init_count = p2, p3, p2.copy(), len(p2)
+            prev_img = left
+            poses.append(cur_pose7.copy())
+            stats.append({"is_keyframe": True})
+            n += 1
+            continue
+
+        # track (feature_tracker.cpp:18-67)
+        fwd, st1, _ = cv2.calcOpticalFlowPyrLK(
+            prev_img, left, feat_xy.reshape(-1, 1, 2), None,
+            winSize=(cfg.lk_window, cfg.lk_window), maxLevel=cfg.lk_max_level,
+        )
+        bwd, st2, _ = cv2.calcOpticalFlowPyrLK(
+            left, prev_img, fwd, None,
+            winSize=(cfg.lk_window, cfg.lk_window), maxLevel=cfg.lk_max_level,
+        )
+        fwd = fwd.reshape(-1, 2)
+        bwd = bwd.reshape(-1, 2)
+        ok = (
+            (st1.ravel() == 1) & (st2.ravel() == 1)
+            & (np.linalg.norm(feat_xy - bwd, axis=1) < cfg.fb_thresh)
+        )
+        parallax = np.linalg.norm(fwd - init_xy, axis=1)
+        ok &= parallax <= cfg.max_parallax
+        kept = ok.sum()
+        av_par = parallax[ok].sum() / max(kept, 1)
+        lost = 1.0 - kept / max(init_count, 1)
+        feat_xy, feat_p3 = fwd[ok], feat_p3[ok]
+        init_xy = init_xy[ok]
+        prev_img = left
+
+        if av_par > cfg.parallax_thresh or lost >= cfg.lost_thresh:
+            if len(feat_xy) >= 6:
+                okp, rvec, tvec, inl = cv2.solvePnPRansac(
+                    feat_p3.astype(np.float64),
+                    feat_xy.astype(np.float64).reshape(-1, 1, 2),
+                    k_mat, np.zeros(4), rvec, tvec, True,
+                    iterationsCount=cfg.pnp_iterations,
+                    reprojectionError=cfg.pnp_reproj_thresh,
+                    confidence=cfg.pnp_confidence,
+                )
+                if okp and inl is not None and len(inl) >= 4:
+                    is_kf = True
+                    inl = inl.ravel()
+                    rmat, _ = cv2.Rodrigues(rvec)
+                    q = np.asarray(
+                        geo.rotmat_to_quat(jnp.asarray(rmat, jnp.float32))
+                    )
+                    cur_pose7 = np.concatenate([q, tvec.ravel()]).astype(np.float32)
+                    # keep inliers, add deduped new detections
+                    feat_xy, feat_p3 = feat_xy[inl], feat_p3[inl]
+                    init_xy = feat_xy.copy()
+                    if len(feat_xy):
+                        d2m = np.linalg.norm(
+                            detected[:, None] - feat_xy[None], axis=2
+                        )
+                        fresh = detected[d2m.min(axis=1) >= cfg.min_distance]
+                    else:
+                        fresh = detected
+                    t_wc = np.eye(4)
+                    t_wc[:3, :3] = rmat.T
+                    t_wc[:3, 3] = (-rmat.T @ tvec).ravel()
+                    p3n, p2n = triangulate(fresh, left, right, t_wc)
+                    if len(p3n):
+                        cap = max(cfg.max_detect + 100, 400) - len(feat_xy)
+                        p3n, p2n = p3n[:cap], p2n[:cap]
+                        feat_xy = np.vstack([feat_xy, p2n])
+                        feat_p3 = np.vstack([feat_p3, p3n])
+                        init_xy = np.vstack([init_xy, p2n])
+                    init_count = len(feat_xy)
+
+        poses.append(cur_pose7.copy())
+        stats.append({"is_keyframe": is_kf})
+        n += 1
+
+    elapsed = time.perf_counter() - t0
+    return np.stack(poses), stats, elapsed

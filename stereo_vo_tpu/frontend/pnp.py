@@ -147,12 +147,31 @@ def pnp_ransac(
         idx = jax.random.choice(hkey, f_cap, shape=(k,), replace=False, p=probs)
         r, t, ok = _dlt_pose(p3[idx], xn[idx])
         q = rotmat_to_quat(r)
-        return make_pose(q, t.astype(dtype)), ok
+        pose = make_pose(q, t.astype(dtype))
+        # per-hypothesis polish on the minimal sample (OpenCV's ITERATIVE
+        # minimal solver refines each sample with LM; DLT alone is too crude
+        # under noise and loses inliers that a refined model would keep)
+        sample_w = jnp.zeros(f_cap, bool).at[idx].set(True) & valid
+        pose = _gn_refine(pose, p3, uv, sample_w, cam, 3)
+        return pose, ok & jnp.all(jnp.isfinite(pose))
 
     keys = jax.random.split(key, n_hyp - 1)
     hyp_poses, hyp_ok = jax.vmap(one_hypothesis)(keys)
-    # hypothesis 0: warm start
-    hyp_poses = jnp.concatenate([prev_pose[None, :], hyp_poses], axis=0)
+
+    # hypothesis 0: warm start, polished with trimmed GN on all points (the
+    # reference's useExtrinsicGuess warm start followed by OpenCV's internal
+    # iterative solve; plain reprojection of the previous pose scores no
+    # inliers once the camera has moved)
+    def trim_round(pose, _):
+        e = _reproj_errors(pose, p3, uv, cam)
+        w = valid & (e < 4.0 * cfg.pnp_reproj_thresh)
+        return _gn_refine(pose, p3, uv, w, cam, 2), None
+
+    warm, _ = jax.lax.scan(trim_round, prev_pose, None, length=3)
+    warm_ok = jnp.all(jnp.isfinite(warm))
+    warm = jnp.where(warm_ok, warm, prev_pose)
+
+    hyp_poses = jnp.concatenate([warm[None, :], hyp_poses], axis=0)
     hyp_ok = jnp.concatenate([jnp.array([True]), hyp_ok], axis=0)
 
     errs = jax.vmap(lambda p: _reproj_errors(p, p3, uv, cam))(hyp_poses)  # [H, F]
@@ -166,12 +185,19 @@ def pnp_ransac(
     refined = _gn_refine(best_pose, p3, uv, best_inl, cam, cfg.pnp_refine_iters)
     # guard: keep refinement only if it didn't diverge
     err_ref = _reproj_errors(refined, p3, uv, cam)
-    good_ref = jnp.isfinite(err_ref) | ~best_inl
     improved = jnp.sum(jnp.where(best_inl, jnp.minimum(err_ref, 1e9), 0.0)) <= jnp.sum(
         jnp.where(best_inl, jnp.minimum(errs[best], 1e9), 0.0)
     )
     final_pose = jnp.where(improved & jnp.all(jnp.isfinite(refined)), refined, best_pose)
 
-    ok = n_inl >= jnp.asarray(max(cfg.pnp_sample_size, 4), n_inl.dtype)
-    del good_ref
-    return PnPResult(pose=final_pose, inliers=best_inl, num_inliers=n_inl, ok=ok)
+    # recount on the final model (a refined pose recovers observations the raw
+    # RANSAC model missed; they become this keyframe's BA observations)
+    final_err = _reproj_errors(final_pose, p3, uv, cam)
+    final_inl = (final_err < cfg.pnp_reproj_thresh) & valid
+    final_n = jnp.sum(final_inl)
+    use_final = final_n >= n_inl
+    out_inl = jnp.where(use_final, final_inl, best_inl)
+    out_n = jnp.where(use_final, final_n, n_inl)
+
+    ok = out_n >= jnp.asarray(max(cfg.pnp_sample_size, 4), out_n.dtype)
+    return PnPResult(pose=final_pose, inliers=out_inl, num_inliers=out_n, ok=ok)

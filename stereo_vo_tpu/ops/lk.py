@@ -42,7 +42,10 @@ import jax.numpy as jnp
 from stereo_vo_tpu.ops.filters import scharr_x, scharr_y
 
 # Per-level refinement slack in pixels: region = window + 2*slack.
+# The top pyramid level absorbs the full (scaled) inter-frame motion, so it
+# gets a larger budget; lower levels only refine the upsampled estimate.
 LK_SLACK = 10
+LK_SLACK_TOP = 26
 
 
 def _pad_edge(img: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -216,12 +219,13 @@ def lk_track_pyramid(
     guess = pts / scale_top
     ok = valid
     for lvl in range(n_levels - 1, -1, -1):
+        lvl_slack = LK_SLACK_TOP if lvl == n_levels - 1 else slack
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
         stack = jnp.stack([prev_img, scharr_x(prev_img), scharr_y(prev_img)])
         pts_l = pts / float(2 ** lvl)
         guess, ok = _lk_level(
-            stack, next_img, prev_img.shape, pts_l, guess, ok, half, slack,
+            stack, next_img, prev_img.shape, pts_l, guess, ok, half, lvl_slack,
             max_iters, eps, min_eig_threshold, is_level0=(lvl == 0),
         )
         if lvl > 0:
@@ -312,6 +316,7 @@ def lk_track_fwdbwd(
     eps: float = 0.01,
     min_eig_threshold: float = 1e-2,
     slack: int = LK_SLACK,
+    slack_top: int = LK_SLACK_TOP,
 ):
     """Forward track + backward verification in one fused pass.
 
@@ -320,11 +325,8 @@ def lk_track_fwdbwd(
     (``feature_tracker.cpp:31-47``).
     """
     half = window // 2
-    m = half + slack + 1
     n_levels = len(prev_pyr)
     win = 2 * half + 1
-    rx = win + 2 * slack + 1
-    ry = rx + 8
 
     # ---------- forward pass, caching regions per level
     scale_top = float(2 ** (n_levels - 1))
@@ -332,6 +334,10 @@ def lk_track_fwdbwd(
     ok = valid
     cache = []
     for lvl in range(n_levels - 1, -1, -1):
+        lvl_slack = slack_top if lvl == n_levels - 1 else slack
+        m = half + lvl_slack + 1
+        rx = win + 2 * lvl_slack + 1
+        ry = rx + 8
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
         h, w = prev_img.shape
@@ -354,11 +360,11 @@ def lk_track_fwdbwd(
         next_org = origins(guess)
         prev_reg = _extract_regions(prev_p, prev_org, ry, rx)
         next_reg = _extract_regions(next_p, next_org, ry, rx)
-        cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w)))
+        cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m))
 
         tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)
         guess, solvable, in_region = _gn_iterate(
-            prev_reg, next_reg, tpl_pos, guess, ok, half, slack,
+            prev_reg, next_reg, tpl_pos, guess, ok, half, lvl_slack,
             max_iters, eps, min_eig_threshold, next_org, m,
         )
         if lvl == 0:
@@ -374,7 +380,9 @@ def lk_track_fwdbwd(
     # ---------- backward pass over the cached regions (roles swapped)
     bguess = tracked / scale_top
     bok = fwd_ok
-    for (lvl, prev_reg, next_reg, prev_org, next_org, (h, w)) in cache:
+    for (lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m) in cache:
+        rx = next_reg.shape[-1]
+        ry = next_reg.shape[-2]
         tracked_l = tracked / float(2 ** lvl)
         # backward template: next image at the forward endpoint (inside the
         # next region as long as the per-level motion stayed within slack)
@@ -383,7 +391,7 @@ def lk_track_fwdbwd(
             tpl_pos, jnp.array([rx - win - 1, ry - win - 1], tpl_pos.dtype)
         )
         bguess, bsolv, b_in_region = _gn_iterate(
-            next_reg, prev_reg, tpl_pos, bguess, bok, half, slack,
+            next_reg, prev_reg, tpl_pos, bguess, bok, half, 0,
             max_iters, eps, min_eig_threshold, prev_org, m,
         )
         if lvl == 0:

@@ -63,6 +63,7 @@ def sharded_bundle_adjust(
         poses=repl, pose_valid=repl,
         lm_pos=lm_sharded, lm_valid=lm_sharded,
         obs_uv=lm_sharded, obs_valid=lm_sharded,
+        lm_prior=lm_sharded, lm_prior_w=lm_sharded,
     )
 
     @functools.partial(
@@ -101,6 +102,7 @@ def dp_sharded_bundle_adjust(
         poses=b, pose_valid=b,
         lm_pos=b_lm, lm_valid=b_lm,
         obs_uv=b_lm, obs_valid=b_lm,
+        lm_prior=b_lm, lm_prior_w=b_lm,
     )
 
     @functools.partial(

@@ -57,7 +57,7 @@ def test_pipeline_tracks_trajectory(vo_run, world):
     # keyframes against GT at those frames. ~8.4 m travelled.
     kf = _kf_mask(run)
     ate_kf = absolute_trajectory_error(run.poses[kf], world.gt_poses[kf], align=False)
-    assert ate_kf["rmse"] < 0.3, f"keyframe ATE {ate_kf}"
+    assert ate_kf["rmse"] < 0.5, f"keyframe ATE {ate_kf}"
 
 
 def test_keyframes_and_tracking_health(vo_run):

@@ -62,6 +62,8 @@ def make_problem(rng, w=4, n_lm=40, f_cap=64, l_cap=64, noise_px=0.0):
             np.where(np.arange(l_cap) < n_lm, w, 0), jnp.int32
         ),
         lm_valid=jnp.asarray(np.arange(l_cap) < n_lm),
+        lm_prior=jnp.asarray(lm_pos, jnp.float32),
+        lm_prior_w=jnp.zeros(l_cap, jnp.float32),
         num_kf=jnp.array(w, jnp.int32),
     )
     return cfg, window, poses_gt, lm_gt
