@@ -128,6 +128,17 @@ def _pad_to(arr: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.zeros((n,) + arr.shape[1:], arr.dtype).at[: arr.shape[0]].set(arr)
 
 
+def _empty_pnp(prev_pose, f_dim):
+    from stereo_vo_tpu.frontend.pnp import PnPResult
+
+    return PnPResult(
+        pose=prev_pose,
+        inliers=jnp.zeros((f_dim,), bool),
+        num_inliers=jnp.array(0, jnp.int32),
+        ok=jnp.array(False),
+    )
+
+
 class VOEngine:
     """Factory for the jitted bootstrap/step functions, closed over config.
 
@@ -311,14 +322,20 @@ class VOEngine:
             | (stats.percent_lost >= cfg.frontend.lost_thresh)
         )
 
-        # PnP also runs unconditionally (sub-ms); its result is only *applied*
-        # in the keyframe branch (image_processor.cpp:71-80).
-        world_pts = get_world_points(state.window, tracked.feat_ids)
-        res = pnp_ransac(
-            world_pts, tracked.feat_xy, tracked.feat_valid,
-            cfg.camera, state.pnp_pose,
-            state.frame_idx.astype(jnp.uint32), cfg.frontend,
-        )
+        # PnP runs only on accepted frames (image_processor.cpp:71-80); its
+        # inputs/outputs are small arrays, so this cond is cheap to carry.
+        def run_pnp(_):
+            world_pts = get_world_points(state.window, tracked.feat_ids)
+            return pnp_ransac(
+                world_pts, tracked.feat_xy, tracked.feat_valid,
+                cfg.camera, state.pnp_pose,
+                state.frame_idx.astype(jnp.uint32), cfg.frontend,
+            )
+
+        def skip_pnp(_):
+            return _empty_pnp(state.pnp_pose, tracked.feat_valid.shape[0])
+
+        res = jax.lax.cond(accept, run_pnp, skip_pnp, None)
         do_keyframe = accept & res.ok
 
         # ---- keyframe branch over SMALL state only -----------------------

@@ -41,6 +41,94 @@ from stereo_vo_tpu.core.geometry import (
 from stereo_vo_tpu.backend.residuals import reprojection_jacobians
 
 
+
+
+def _inv3(m):
+    """Closed-form batched 3x3 inverse."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [co_a, -(b * i - c * h), b * f - c * e,
+         co_b, a * i - c * g, -(a * f - c * d),
+         co_c, -(a * h - b * g), a * e - b * d], axis=-1
+    ).reshape(m.shape)
+    return adj / det[..., None, None]
+
+
+def _inv_spd_blocked(m, half: int):
+    """Batched SPD inverse via 2x2 block-Schur recursion.
+
+    ``half`` is the top-left block size; 3 -> closed-form 3x3 leaves. Avoids
+    LAPACK custom-calls, which dominate small batched solves on TPU.
+    """
+    a = m[..., :half, :half]
+    b = m[..., :half, half:]
+    c = m[..., half:, half:]
+    inv_a = _inv3(a) if half == 3 else _inv_spd_blocked(a, half // 2 * 0 + 3)
+    s = c - jnp.einsum("...ij,...jk,...kl->...il", jnp.swapaxes(b, -1, -2), inv_a, b)
+    inv_s = _inv3(s) if s.shape[-1] == 3 else _inv_spd_blocked(s, 3)
+    aib = jnp.einsum("...ij,...jk->...ik", inv_a, b)
+    tl = inv_a + jnp.einsum("...ij,...jk,...lk->...il", aib, inv_s, aib)
+    tr = -jnp.einsum("...ij,...jk->...ik", aib, inv_s)
+    bl = jnp.swapaxes(tr, -1, -2)
+    return jnp.concatenate(
+        [jnp.concatenate([tl, tr], axis=-1), jnp.concatenate([bl, inv_s], axis=-1)],
+        axis=-2,
+    )
+
+
+def _solve6_spd(h, g):
+    """Solve SPD 6x6 systems batched, closed form (block-Schur with 3x3 leaves)."""
+    return jnp.einsum("...ij,...j->...i", _inv_spd_blocked(h, 3), g)
+
+
+def _polar_so3(m, iters: int = 8):
+    """Project batched 3x3 matrices to (scaled) SO(3) via Newton polar
+    iteration ``R <- (R + R^-T)/2``; returns (R, scale) with R orthogonal and
+    ``scale`` the mean singular value carrying det sign information."""
+    # normalize magnitude for iteration stability
+    norm = jnp.sqrt(jnp.sum(m * m, axis=(-2, -1), keepdims=True) / 3.0)
+    r = m / jnp.maximum(norm, 1e-20)
+    for _ in range(iters):
+        r = 0.5 * (r + jnp.swapaxes(_inv3(r), -1, -2))
+    # scale = mean diag of R^T M (signed mean singular value)
+    s = jnp.einsum("...ji,...jk->...ik", r, m)
+    scale = jnp.trace(s, axis1=-2, axis2=-1) / 3.0
+    return r, scale
+
+
+def _smallest_nullvec_12(b):
+    """Approximate null vector of a 12x12 PSD matrix via ridge inverse
+    iteration with a block-Schur inverse (no eigendecomposition)."""
+    tr = jnp.trace(b, axis1=-2, axis2=-1)
+    ridge = (1e-7 * tr)[..., None, None] * jnp.eye(12, dtype=b.dtype)
+    # 12x12 SPD inverse: 2x2 blocks of 6x6, each via the 3x3-leaf recursion
+    bb = b + ridge
+    a11 = bb[..., :6, :6]
+    a12 = bb[..., :6, 6:]
+    a22 = bb[..., 6:, 6:]
+    inv_a11 = _inv_spd_blocked(a11, 3)
+    s = a22 - jnp.einsum("...ij,...jk,...kl->...il",
+                         jnp.swapaxes(a12, -1, -2), inv_a11, a12)
+    inv_s = _inv_spd_blocked(s, 3)
+    aib = jnp.einsum("...ij,...jk->...ik", inv_a11, a12)
+    tl = inv_a11 + jnp.einsum("...ij,...jk,...lk->...il", aib, inv_s, aib)
+    trr = -jnp.einsum("...ij,...jk->...ik", aib, inv_s)
+    inv = jnp.concatenate(
+        [jnp.concatenate([tl, trr], axis=-1),
+         jnp.concatenate([jnp.swapaxes(trr, -1, -2), inv_s], axis=-1)], axis=-2)
+    x = jnp.ones(b.shape[:-2] + (12,), b.dtype)
+    for _ in range(4):
+        x = jnp.einsum("...ij,...j->...i", inv, x)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    return x
+
+
 class PnPResult(NamedTuple):
     pose: jnp.ndarray        # [7] T_cw
     inliers: jnp.ndarray     # [F] bool (of the RANSAC model)
@@ -55,26 +143,37 @@ def _dlt_pose(p3: jnp.ndarray, xn: jnp.ndarray):
     orthogonalizes M[:, :3] and resolves the global sign by cheirality.
     """
     n = p3.shape[0]
+    # Hartley normalization: the closed-form f32 null-vector solve needs the
+    # system well-conditioned; raw world coordinates give cond(A^T A) ~ 1e9.
+    c = jnp.mean(p3, axis=0)
+    s = jnp.sqrt(jnp.mean(jnp.sum((p3 - c) ** 2, axis=1)) / 3.0)
+    s = jnp.maximum(s, 1e-6)
+    pn = (p3 - c) / s
     zeros = jnp.zeros((n, 4), p3.dtype)
-    ph = jnp.concatenate([p3, jnp.ones((n, 1), p3.dtype)], axis=1)  # [6,4]
+    ph = jnp.concatenate([pn, jnp.ones((n, 1), p3.dtype)], axis=1)  # [6,4]
     rows_x = jnp.concatenate([ph, zeros, -xn[:, 0:1] * ph], axis=1)
     rows_y = jnp.concatenate([zeros, ph, -xn[:, 1:2] * ph], axis=1)
     a = jnp.concatenate([rows_x, rows_y], axis=0)  # [12, 12]
-    # null vector = right singular vector of smallest singular value
+    # null vector via direct SVD of A (forming A^T A squares the condition
+    # number, which f32 cannot afford; the closed-form inverse-iteration
+    # variant in _smallest_nullvec_12 measurably degrades trajectories)
     _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    m = vt[-1].reshape(3, 4)
+    mn = vt[-1].reshape(3, 4)
+    # denormalize: P = M_n @ [[I/s, -c/s], [0, 1]]
+    m = jnp.concatenate(
+        [mn[:, :3] / s, (mn[:, 3] - mn[:, :3] @ c / s)[:, None]], axis=1
+    )
 
     def fix(mm):
         r_tilde = mm[:, :3]
-        u, s, vvt = jnp.linalg.svd(r_tilde)
-        d = jnp.linalg.det(u @ vvt)
-        one = jnp.ones((), mm.dtype)
-        r = u @ jnp.diag(jnp.stack([one, one, d])) @ vvt
-        scale = (s[0] + s[1] + d * s[2]) / 3.0
-        t = mm[:, 3] / jnp.maximum(scale, 1e-12)
-        # positive depth count for cheirality
+        r, scale = _polar_so3(r_tilde)
+        # scale carries the det sign; flip r to proper rotation if needed
+        flip = jnp.sign(jnp.linalg.det(r))
+        r = r * flip
+        scale = scale * flip * jnp.sqrt(jnp.sum(r_tilde * r_tilde) / 3.0)
+        t = mm[:, 3] / jnp.where(jnp.abs(scale) > 1e-12, scale, 1e-12)
         z = (p3 @ r.T + t)[:, 2]
-        return r, t, jnp.sum(z > 0), scale > 1e-9
+        return r, t, jnp.sum(z > 0), jnp.abs(scale) > 1e-9
 
     r_a, t_a, npos_a, ok_a = fix(m)
     r_b, t_b, npos_b, ok_b = fix(-m)
@@ -110,6 +209,8 @@ def _gn_refine(pose, p3, uv, weight, cam, iters: int):
         j6 = jnp.nan_to_num(j6)
         h = jnp.einsum("fri,frj->ij", j6, j6) + 1e-6 * jnp.eye(6, dtype=pose.dtype)
         g = -jnp.einsum("fri,fr->i", j6, r)
+        # LAPACK solve: the closed-form block-Schur inverse loses ~3 digits on
+        # the reprojection Hessian's conditioning and hurts pose accuracy
         delta = jnp.linalg.solve(h, g)
         return pose_retract(pose, delta), None
 
@@ -150,9 +251,9 @@ def pnp_ransac(
         pose = make_pose(q, t.astype(dtype))
         # per-hypothesis polish on the minimal sample (OpenCV's ITERATIVE
         # minimal solver refines each sample with LM; DLT alone is too crude
-        # under noise and loses inliers that a refined model would keep)
-        sample_w = jnp.zeros(f_cap, bool).at[idx].set(True) & valid
-        pose = _gn_refine(pose, p3, uv, sample_w, cam, 3)
+        # under noise and loses inliers that a refined model would keep).
+        # GN runs on just the k gathered points, not the full capacity array.
+        pose = _gn_refine(pose, p3[idx], uv[idx], jnp.ones(k, bool), cam, 3)
         return pose, ok & jnp.all(jnp.isfinite(pose))
 
     keys = jax.random.split(key, n_hyp - 1)
