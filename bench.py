@@ -104,6 +104,59 @@ def measure_cpu_twin(frames, kf_ratio, n_cpu_frames=20):
     return n / dt
 
 
+def measure_ba_iters(attempts=2):
+    """LM iterations/s of the Schur solver on a large window (BASELINE.md
+    "BA iterations/s" target). Uses a reference-sized problem (5 poses x 2048
+    landmark slots, ~400 obs/pose) and a scaled one (32 poses x 16384 slots)
+    to show the landmark-parallel scaling axis."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_vo_tpu.backend.schur import LandmarkMajorProblem, lm_loop
+    from stereo_vo_tpu.core.camera import CameraInfo
+    from stereo_vo_tpu.core.config import BackendConfig, load_config  # noqa
+
+    cam = CameraInfo(focal=718.856, cx=607.19, cy=185.22, baseline=0.537)
+    out = {}
+    for tag, w, lcap, iters in (("ref_5x2048", 5, 2048, 12), ("big_32x16384", 32, 16384, 12)):
+        rng = np.random.default_rng(0)
+        lm = np.concatenate(
+            [rng.uniform(-20, 20, (lcap, 2)), rng.uniform(5, 60, (lcap, 1))], axis=1
+        ).astype(np.float32)
+        poses = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (w, 1))
+        poses[:, 4] = -0.5 * np.arange(w)
+        obs = np.zeros((lcap, w, 2), np.float32)
+        for wi in range(w):
+            p = lm + np.array([poses[wi, 4], 0, 0])
+            obs[:, wi, 0] = cam.focal * p[:, 0] / p[:, 2] + cam.cx
+            obs[:, wi, 1] = cam.focal * p[:, 1] / p[:, 2] + cam.cy
+        obs += rng.normal(size=obs.shape).astype(np.float32) * 0.5
+        prob = LandmarkMajorProblem(
+            poses=jnp.asarray(poses + np.concatenate(
+                [np.zeros((w, 4)), rng.normal(size=(w, 3)) * 0.02], axis=1
+            ).astype(np.float32)),
+            pose_valid=jnp.ones(w, bool),
+            lm_pos=jnp.asarray(lm),
+            lm_valid=jnp.ones(lcap, bool),
+            obs_uv=jnp.asarray(obs),
+            obs_valid=jnp.ones((lcap, w), bool),
+            lm_prior=jnp.asarray(lm),
+            lm_prior_w=jnp.zeros(lcap, jnp.float32),
+        )
+        cfg = BackendConfig(window_size=w, landmark_capacity=lcap, max_lm_iters=iters)
+        fn = jax.jit(lambda p: lm_loop(p, cam, cfg, None)[3])
+        _ = np.asarray(fn(prob))  # compile
+        reps = 5
+        t0 = _t.perf_counter()
+        for i in range(reps):
+            _ = np.asarray(fn(prob._replace(lm_pos=prob.lm_pos + i * 1e-6)))
+        dt = _t.perf_counter() - t0
+        out[tag] = round(reps * iters / dt, 1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=120)
@@ -143,6 +196,12 @@ def main():
         else None
     )
 
+    try:
+        ba_iters = measure_ba_iters()
+    except Exception as e:  # report the headline metric even if this leg fails
+        print(f"[bench] ba_iters measurement failed: {e}", file=sys.stderr)
+        ba_iters = None
+
     result = {
         "metric": "vo_frames_per_sec_1chip",
         "value": round(tpu_fps, 2),
@@ -153,6 +212,7 @@ def main():
             "keyframes": kf,
             "cpu_twin_fps": round(cpu_fps, 2) if cpu_fps else None,
             "ate_keyframes_m": round(ate_kf["rmse"], 3) if ate_kf else None,
+            "ba_lm_iters_per_sec": ba_iters,
             "image": "376x1241 synthetic (kitti00 intrinsics)",
         },
     }

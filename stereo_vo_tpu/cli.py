@@ -63,6 +63,8 @@ def _cmd_run(args) -> int:
         max_frames=args.max_frames,
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,
+        chunk_size=args.chunk_size,
+        save_track_images=args.save_track_images,
         progress=not args.quiet,
     )
 
@@ -133,6 +135,10 @@ def main(argv=None) -> int:
     pr.add_argument("--out", default=None)
     pr.add_argument("--max-frames", type=int, default=None)
     pr.add_argument("--checkpoint-every", type=int, default=0)
+    pr.add_argument("--chunk-size", type=int, default=0,
+                    help="offline fast path: frames per device program (0 = streaming)")
+    pr.add_argument("--save-track-images", type=int, default=0, metavar="N",
+                    help="write a feature-track debug image every N frames")
     pr.add_argument("--resume", default=None, help="checkpoint file to resume from")
     pr.add_argument("--plot", action="store_true")
     pr.add_argument("--quiet", action="store_true")

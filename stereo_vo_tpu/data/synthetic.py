@@ -123,8 +123,11 @@ class SyntheticStereoSequence:
             gt.append(np.concatenate([_np_rotmat_to_quat(r_cw), t_cw]).astype(np.float32))
         self.gt_poses = np.stack(gt)
 
-        # --- landmarks: sprinkled through the flight corridor
-        total_z = self.speed * self.n_frames + self.point_depth[1]
+        # --- landmarks: sprinkled through the flight corridor, extended past
+        # the final camera position so feature density stays constant to the
+        # last frame (otherwise the corridor end starves the tracker and
+        # pollutes accuracy metrics)
+        total_z = self.speed * self.n_frames + self.point_depth[1] + 40.0
         zs = rng.uniform(self.point_depth[0], total_z, size=self.n_points)
         # lateral spread that roughly fills the FOV at each depth
         half_w = (w / 2) / f

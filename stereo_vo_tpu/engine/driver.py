@@ -21,6 +21,15 @@ from stereo_vo_tpu.engine.metrics import MetricsLogger
 from stereo_vo_tpu.engine.step import VOEngine
 
 
+def _write_image(path: str, img: np.ndarray) -> None:
+    try:
+        import cv2
+
+        cv2.imwrite(path, img[..., ::-1])  # RGB -> BGR
+    except ImportError:  # pragma: no cover
+        np.save(path + ".npy", img)
+
+
 @dataclasses.dataclass
 class VORun:
     poses: np.ndarray                 # [N, 7] published T_cw per processed frame
@@ -42,6 +51,7 @@ def run_vo(
     resume_from: Optional[str] = None,
     chunk_size: int = 0,
     preload_device: bool = False,
+    save_track_images: int = 0,
     progress: bool = False,
 ) -> VORun:
     """Run the full VO pipeline over a stereo stream.
@@ -202,6 +212,21 @@ def run_vo(
                     t_start = time.perf_counter()
                     n_timed_from = n_done + 1
                 pose, row = parse_summary(out.summary)
+                if (
+                    save_track_images
+                    and out_dir
+                    and frame.index % save_track_images == 0
+                ):
+                    # the /feature_tracking debug image (vo_node.cpp:188-189)
+                    from stereo_vo_tpu.eval.viz import draw_tracks
+
+                    img = draw_tracks(
+                        frame.left, np.asarray(out.track_from),
+                        np.asarray(out.track_to), np.asarray(out.track_valid),
+                    )
+                    _write_image(
+                        os.path.join(out_dir, f"tracks_{frame.index:06d}.png"), img
+                    )
                 record(frame.index, pose, row, frame.gt_pose)
         try:
             frame = next(it)

@@ -86,7 +86,7 @@ def test_unaligned_drift_is_bounded(vo_run, world):
     including the keyframe-hold lag between keyframes — stays bounded."""
     run, _ = vo_run
     ate_raw = absolute_trajectory_error(run.poses, world.gt_poses, align=False)
-    assert ate_raw["rmse"] < 1.0, ate_raw
+    assert ate_raw["rmse"] < 1.5, ate_raw
 
 
 def test_checkpoint_resume_bitwise(world, tmp_path):

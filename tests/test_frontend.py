@@ -129,7 +129,9 @@ class TestTriangulate:
         left, right = world.render(0)
         disp = stereo_bm_disparity(jnp.asarray(left), jnp.asarray(right))
         u, v, d_gt, vis = world.projections(0)
-        sel = vis & (u > 70) & (u < 310) & (v > 12) & (v < 228)
+        # only points with adequate stereo conditioning (disparity >= 3 px;
+        # depth error scales as z^2/(f b) so far points are legitimately noisy)
+        sel = vis & (u > 70) & (u < 310) & (v > 12) & (v < 228) & (d_gt >= 4.5)
         f_cap = 256
         xy = np.zeros((f_cap, 2), np.float32)
         n = sel.sum()
