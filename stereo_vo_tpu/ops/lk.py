@@ -102,8 +102,10 @@ def _lk_level(
     """One pyramid level of LK for all features (region + MXU sampling)."""
     h, w = img_shape
     win = 2 * half + 1
-    rx = win + 2 * slack + 1       # window + slack each side + bilinear margin
-    ry = rx + 8                    # extra rows so origins can align to 8 (DMA)
+    # square region, 8-aligned size: window + slack each side + bilinear margin
+    # + up to 7 px alignment residual per axis (origins align down to 8 so the
+    # Pallas DMA extraction path can slice HBM)
+    rx = ry = ((win + 2 * slack + 9) + 7) // 8 * 8
     m = half + slack + 1           # image pad
     win_area = float(win * win)
 
@@ -115,10 +117,8 @@ def _lk_level(
     # on the initial guess for next. Row origins align down to a multiple of 8
     # (sublane tiling) so the Pallas DMA path can slice HBM directly.
     def origins(centers):
-        ox = jnp.clip(
-            jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m,
-            0, wp - rx,
-        )
+        ox = jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m
+        ox = jnp.clip((ox // 8) * 8, 0, wp - rx)
         oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m
         oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
         return jnp.stack([ox, oy], axis=1)
@@ -336,8 +336,7 @@ def lk_track_fwdbwd(
     for lvl in range(n_levels - 1, -1, -1):
         lvl_slack = slack_top if lvl == n_levels - 1 else slack
         m = half + lvl_slack + 1
-        rx = win + 2 * lvl_slack + 1
-        ry = rx + 8
+        rx = ry = ((win + 2 * lvl_slack + 9) + 7) // 8 * 8
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
         h, w = prev_img.shape
@@ -348,10 +347,9 @@ def lk_track_fwdbwd(
         hp, wp = prev_p.shape[-2:]
 
         def origins(centers):
-            ox = jnp.clip(
-                jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m,
-                0, wp - rx)
-            oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m
+            ox = jnp.floor(centers[:, 0]).astype(jnp.int32) - half - lvl_slack + m
+            ox = jnp.clip((ox // 8) * 8, 0, wp - rx)
+            oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - lvl_slack + m
             oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
             return jnp.stack([ox, oy], axis=1)
 

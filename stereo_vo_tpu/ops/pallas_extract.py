@@ -1,13 +1,20 @@
-"""Pallas TPU kernel: batched region extraction at dynamic offsets.
+"""Pallas TPU kernels: batched region extraction at dynamic offsets.
 
 ``[N]`` features each pull a ``[C, R, R]`` window from a ``[C, Hp, Wp]`` image
 stack at per-feature integer origins. XLA lowers the equivalent batched
-``dynamic_slice`` to a serialized per-feature update loop (~1 us each, ~40% of
-frame time); here each grid step issues a handful of async HBM->VMEM DMAs
-directly into its output block, so the copies overlap and run at memory
-bandwidth.
+``dynamic_slice`` to a serialized per-feature update loop (~1.3 us each — ~30%
+of VO frame time), so the TPU path implements it with per-feature DMA.
 
-Falls back to the vmapped ``dynamic_slice`` formulation off-TPU (CPU tests).
+Mosaic constrains HBM slices: sublane (second-minor) offsets must be multiples
+of 8, lane (minor) offsets AND sizes multiples of 128 — arbitrary per-feature
+x-origins violate the lane rule. The kernel therefore works on a TRANSPOSED
+stack ``[C, Wp, Hp]`` where image x is the sublane dim (8-aligned origins are
+cheap to guarantee) and image y is the lane dim, DMA'd as a 128-aligned band;
+an in-kernel transpose + 8-aligned sublane slice then crops y. Callers must
+pass origins pre-aligned down to multiples of 8 in BOTH axes, with regions
+sized ``win + 2*slack + 9`` rounded up so the alignment residual stays inside.
+
+Off-TPU (CPU tests) falls back to the vmapped ``dynamic_slice`` formulation.
 """
 
 from __future__ import annotations
@@ -24,24 +31,38 @@ from jax.experimental.pallas import tpu as pltpu
 _FB = 8
 
 
-def _extract_kernel(origins_ref, stack_ref, out_ref, sems, *, ry, rx, n_ch):
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _extract_kernel_t(origins_ref, stackt_ref, out_ref, scratch, scratch_t,
+                      sems, *, r, span, hp_pad, n_ch):
     i = pl.program_id(0)
 
     def issue(k):
         n = i * _FB + k
-        ox = origins_ref[n, 0]
-        # callers align row origins to the sublane tile; tell Mosaic so
-        oy = pl.multiple_of(origins_ref[n, 1], 8)
-        return pltpu.make_async_copy(
-            stack_ref.at[:, pl.ds(oy, ry), pl.ds(ox, rx)],
-            out_ref.at[k],
+        ox = pl.multiple_of(origins_ref[n, 0], 8)
+        oy = origins_ref[n, 1]
+        band = jnp.minimum((oy // 128) * 128, hp_pad - span)
+        band = pl.multiple_of(jnp.maximum(band, 0), 128)
+        return band, pltpu.make_async_copy(
+            stackt_ref.at[:, pl.ds(ox, r), pl.ds(band, span)],
+            scratch.at[k],
             sems.at[k],
         )
 
     for k in range(_FB):
-        issue(k).start()
+        issue(k)[1].start()
     for k in range(_FB):
-        issue(k).wait()
+        n = i * _FB + k
+        band, dma = issue(k)
+        dma.wait()
+        # scratch[k]: [C, r(x), span(y)] -> transpose -> [C, span(y), r(x)],
+        # staged through a scratch ref so the y crop can be a dynamic sublane
+        # ref-read (dynamic_slice on values is not lowered in Mosaic)
+        scratch_t[k] = jnp.swapaxes(scratch[k], 1, 2)
+        off = pl.multiple_of(origins_ref[n, 1] - band, 8)
+        out_ref[k] = scratch_t[k, :, pl.ds(off, r), :]
 
 
 def _extract_regions_vmap(stack, origins, ry, rx):
@@ -54,36 +75,47 @@ def _extract_regions_vmap(stack, origins, ry, rx):
 def extract_regions(stack: jnp.ndarray, origins: jnp.ndarray, ry: int, rx: int):
     """``stack [C, Hp, Wp]`` + ``origins [N, 2]`` (x, y) -> ``[N, C, RY, RX]``.
 
-    Origins must be pre-clipped to ``[0, dim - size]``; row origins (y) must be
-    multiples of 8 for the TPU DMA path (sublane tiling).
+    Origins must be pre-clipped to ``[0, dim - size]`` and pre-aligned down to
+    multiples of 8 in both axes (the LK callers do both).
     """
     n = origins.shape[0]
-    c = stack.shape[0]
-    # Mosaic requires lane (last-dim) slice offsets AND sizes to be multiples
-    # of 128 for HBM DMA, which arbitrary feature x-origins violate; a 128-wide
-    # region would inflate the downstream sampling matmuls ~4x. The DMA kernel
-    # therefore stays opt-in until a lane-cropping variant lands.
+    c, hp, wp = stack.shape
     use_pallas = (
         jax.default_backend() not in ("cpu",)
-        and os.environ.get("STEREO_VO_PALLAS_EXTRACT", "0") == "1"
+        and os.environ.get("STEREO_VO_NO_PALLAS", "0") != "1"
         and n % _FB == 0
+        and ry == rx
+        and ry % 8 == 0
     )
     if not use_pallas:
         return _extract_regions_vmap(stack, origins, ry, rx)
+
+    r = ry
+    hp_pad = max(_cdiv(hp, 128) * 128, 128)
+    span = min(hp_pad, _cdiv(128 + r, 128) * 128)
+    # transpose once per call (XLA, bandwidth-bound) and pad y to the lane grid
+    stackt = jnp.swapaxes(stack, 1, 2)                     # [C, Wp, Hp]
+    stackt = jnp.pad(stackt, ((0, 0), (0, 0), (0, hp_pad - hp)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // _FB,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (_FB, c, ry, rx),
+            (_FB, c, r, r),
             lambda i, origins: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_FB,))],
+        scratch_shapes=[
+            pltpu.VMEM((_FB, c, r, span), stack.dtype),
+            pltpu.VMEM((_FB, c, span, r), stack.dtype),
+            pltpu.SemaphoreType.DMA((_FB,)),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_extract_kernel, ry=ry, rx=rx, n_ch=c),
+        functools.partial(
+            _extract_kernel_t, r=r, span=span, hp_pad=hp_pad, n_ch=c
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, c, ry, rx), stack.dtype),
-    )(origins, stack)
+        out_shape=jax.ShapeDtypeStruct((n, c, r, r), stack.dtype),
+    )(origins, stackt)
