@@ -308,9 +308,15 @@ class VOEngine:
         left_f = left.astype(jnp.float32)
         right_f = right.astype(jnp.float32)
 
-        det_xy, det_valid = detect_features(left_f, cfg.frontend)
-        n_det = jnp.sum(det_valid.astype(jnp.int32))
-        has_det = n_det >= cfg.frontend.min_detected
+        # cheap every-frame bail (peak count); the full min-distance NMS is
+        # deferred to the keyframe branch where its output is actually used
+        from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks
+
+        n_peaks = count_quality_peaks(
+            left_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size
+        )
+        n_det = jnp.minimum(n_peaks, cfg.frontend.max_detect)
+        has_det = n_peaks >= cfg.frontend.min_detected
         pyr = tuple(build_pyramid(left_f, cfg.frontend.lk_max_level))
 
         # Track unconditionally; if the frame is skipped (under 4 detections,
@@ -347,6 +353,7 @@ class VOEngine:
         def keyframe(args):
             window, pnp_pose, cur_pose, feat_xy, feat_ids, feat_valid = args
             pose = res.pose
+            det_xy, det_valid = detect_features(left_f, cfg.frontend)
             # keyframe observations = PnP inliers only (image_processor.cpp:95-108)
             inlier_valid = feat_valid & res.inliers
             # dedup new detections vs inlier tracked (image_processor.cpp:113-128)

@@ -44,6 +44,30 @@ def min_eig_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     return ((a + c) - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)) * 0.5
 
 
+def count_quality_peaks(
+    img: jnp.ndarray, quality_level: float = 0.1, block_size: int = 3,
+    border: int = 3,
+) -> jnp.ndarray:
+    """Number of 3x3-local-max responses above the quality threshold.
+
+    The cheap every-frame stand-in for the reference's "fewer than 4
+    detections -> skip frame" bail (image_processor.cpp:23-25): min-distance
+    NMS only ever *reduces* the count, and a frame with >= 4 quality peaks but
+    < 4 NMS survivors is pathological, so full (expensive) suppression can be
+    deferred to keyframe processing.
+    """
+    h, w = img.shape
+    resp = min_eig_response(img, block_size)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    resp = jnp.where(inside, resp, 0.0)
+    thresh = jnp.max(resp) * quality_level
+    localmax3 = max_filter(resp, 1)
+    is_peak = (resp >= localmax3) & (resp >= thresh) & (resp > 0)
+    return jnp.sum(is_peak.astype(jnp.int32))
+
+
 def detect_corners(
     img: jnp.ndarray,
     max_corners: int = 300,
