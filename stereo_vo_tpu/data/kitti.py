@@ -29,6 +29,15 @@ from stereo_vo_tpu.data.stream import StereoFrame
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    # prefer the native decoder (no GIL during inflate/unfilter; bit-exact
+    # vs OpenCV on grayscale — see native/svo_io.cpp)
+    try:
+        from stereo_vo_tpu.data.native_loader import native_available, read_png_gray
+
+        if native_available():
+            return read_png_gray(path)
+    except Exception:
+        pass
     try:
         import cv2
 

@@ -73,3 +73,27 @@ def test_indivisible_capacity_raises(rng):
     mesh = make_mesh((4,), ("lm",), jax.devices()[:4])
     with pytest.raises(ValueError, match="not divisible"):
         sharded_bundle_adjust(window, CAM, cfg, mesh)
+
+
+def test_dp_sharded_batch(rng):
+    """dp x lm batched solves equal per-window single-device solves."""
+    from stereo_vo_tpu.backend.schur import window_to_landmark_major
+    from stereo_vo_tpu.parallel.sharded_ba import dp_sharded_bundle_adjust
+
+    cfg, w0, *_ = make_problem(rng, w=3, n_lm=16, f_cap=32, l_cap=32)
+    _, w1, *_ = make_problem(rng, w=3, n_lm=16, f_cap=32, l_cap=32)
+    wins = [perturb(w0, rng), perturb(w1, rng)]
+
+    import jax.numpy as jnp
+
+    probs = [window_to_landmark_major(w) for w in wins]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+    mesh = make_mesh((2, 4), ("dp", "lm"))
+    poses_b, lm_b, c0_b, c1_b = dp_sharded_bundle_adjust(batch, CAM, cfg, mesh)
+
+    for i, win in enumerate(wins):
+        solved, stats = bundle_adjust(win, CAM, cfg)
+        np.testing.assert_allclose(
+            np.asarray(poses_b[i]), np.asarray(solved.poses), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(c1_b[i], stats.final_cost, rtol=1e-3, atol=1e-6)
