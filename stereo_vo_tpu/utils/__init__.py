@@ -1,3 +1,3 @@
-from stereo_vo_tpu.utils.profiling import StageTimer, device_trace
+from stereo_vo_tpu.utils.profiling import StageTimer, device_trace, summarize_trace
 
-__all__ = ["StageTimer", "device_trace"]
+__all__ = ["StageTimer", "device_trace", "summarize_trace"]
