@@ -157,9 +157,11 @@ int decode_png_gray(const std::vector<uint8_t>& file, PngImage* out) {
 int read_file(const char* path, std::vector<uint8_t>* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  std::fseek(f, 0, SEEK_END);
+  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return -3; }
   long n = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
+  // ftell returns -1 for directories / non-seekable streams; resizing to
+  // size_t(-1) would throw bad_alloc across the extern "C" ABI into ctypes
+  if (n < 0 || std::fseek(f, 0, SEEK_SET) != 0) { std::fclose(f); return -3; }
   out->resize(size_t(n));
   size_t got = std::fread(out->data(), 1, size_t(n), f);
   std::fclose(f);

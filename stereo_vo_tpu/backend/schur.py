@@ -116,7 +116,11 @@ def _cost(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth):
         & (z > min_depth)
     )
     r = jnp.where(mask[..., None], r, 0.0)
-    return 0.5 * jnp.sum(r * r)
+    cost = 0.5 * jnp.sum(r * r)
+    # stereo prior term (matches _lm_major_cost)
+    dp = lm_pos - window.lm_prior
+    pw = jnp.where(window.lm_valid, window.lm_prior_w, 0.0)
+    return cost + 0.5 * jnp.sum(pw[:, None] * dp * dp)
 
 
 def lm_step(
@@ -151,6 +155,11 @@ def lm_step(
     g_l = jnp.zeros((lcap + 1, 3), dtype).at[lm_idx.reshape(-1)].add(
         g_l_obs.reshape(-1, 3)
     )[:lcap]
+    # stereo prior term — keeps this pose-major path equivalent to the
+    # production landmark-major one (lm_major_step) when lm_prior_w > 0
+    pw = jnp.where(window.lm_valid, window.lm_prior_w, 0.0)
+    v = v + pw[:, None, None] * jnp.eye(3, dtype=dtype)
+    g_l = g_l + pw[:, None] * (window.lm_prior - lm_pos)
 
     w_idx = jnp.broadcast_to(
         jnp.arange(wsz, dtype=jnp.int32)[:, None], lm_idx.shape

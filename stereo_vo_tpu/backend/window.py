@@ -122,6 +122,12 @@ def add_keyframe(
 
     # --- allocate landmark ids for new features: lowest free slots first
     # (deterministic analog of the avail_ids stack, bundle_adjuster.cpp:98-107).
+    # Allocation is clamped to the number of currently-free slots (allocation
+    # runs before this keyframe's eviction, so the count is conservative);
+    # without the clamp, overflow ranks would index into *live* slots and
+    # silently clobber landmarks still referenced by window observations.
+    num_free = state.landmark_capacity - jnp.sum(state.lm_valid.astype(jnp.int32))
+    new_valid = new_valid & (new_rank < num_free)
     free_order = jnp.argsort(state.lm_valid, stable=True)  # invalid slots first
     new_ids = free_order[jnp.clip(new_rank, 0, state.landmark_capacity - 1)]
     new_ids = jnp.where(new_valid, new_ids, 0)

@@ -113,7 +113,7 @@ def run_vo(
                 )
         jax.block_until_ready(list(preloaded.values()))
 
-    def record(frame_index, pose, row, gt):
+    def record(frame_index, pose, row, gt, allow_ckpt=True):
         nonlocal n_done
         row = {"frame": int(frame_index), **row}
         poses.append(np.asarray(pose))
@@ -127,7 +127,7 @@ def run_vo(
                 f"tracked={row['num_tracked']} inliers={row['num_inliers']}"
             )
         n_done += 1
-        if checkpoint_every and out_dir and n_done % checkpoint_every == 0:
+        if allow_ckpt and checkpoint_every and out_dir and n_done % checkpoint_every == 0:
             from stereo_vo_tpu.engine.checkpoint import save_state
 
             save_state(os.path.join(out_dir, "checkpoint.npz"), state, frame_index + 1)
@@ -135,13 +135,13 @@ def run_vo(
     pending_chunk: List = []
     # double buffering: results of the previously dispatched chunk are fetched
     # only after the next chunk is dispatched, so upload/compute overlap
-    inflight = None  # (frames, poses_dev, summaries_dev)
+    inflight = None  # (frames, poses_dev, summaries_dev, state_after_chunk)
 
     def drain_inflight():
         nonlocal inflight, t_start, n_timed_from
         if inflight is None:
             return
-        fr, poses_dev, summ_dev = inflight
+        fr, poses_dev, summ_dev, state_after = inflight
         inflight = None
         first_flush = t_start is None
         ch_poses = np.asarray(poses_dev)
@@ -150,9 +150,26 @@ def run_vo(
             # first chunk call compiled replay_chunk; time from here
             t_start = time.perf_counter()
             n_timed_from = n_done + len(fr)
+        n_before = n_done
         for f, pose, summ in zip(fr, ch_poses, ch_summaries):
             _, row = parse_summary(summ)
-            record(f.index, pose, row, f.gt_pose)
+            # chunked mode checkpoints only at chunk boundaries: by drain time
+            # the nonlocal `state` already reflects the NEXT dispatched chunk,
+            # so the per-frame checkpoint in record() would pair a too-new
+            # state with a too-old resume index (duplicating frames on resume)
+            record(f.index, pose, row, f.gt_pose, allow_ckpt=False)
+        if (
+            checkpoint_every
+            and out_dir
+            and (n_done // checkpoint_every) > (n_before // checkpoint_every)
+        ):
+            from stereo_vo_tpu.engine.checkpoint import save_state
+
+            # state_after is the state at the END of this drained chunk
+            # (captured at dispatch), matching resume index fr[-1].index + 1
+            save_state(
+                os.path.join(out_dir, "checkpoint.npz"), state_after, fr[-1].index + 1
+            )
 
     def flush_chunk(allow_partial=False):
         nonlocal state
@@ -167,7 +184,7 @@ def run_vo(
             chunk_frames = list(pending_chunk)
             pending_chunk.clear()
             drain_inflight()
-            inflight_new = (chunk_frames, ch_poses, ch_summaries)
+            inflight_new = (chunk_frames, ch_poses, ch_summaries, state)
             _set_inflight(inflight_new)
         elif allow_partial and pending_chunk:
             # tail shorter than chunk_size: run it through the streaming step

@@ -105,21 +105,29 @@ def detect_corners(
     maxval = jnp.max(resp)
     thresh = maxval * quality_level
 
-    # 3x3 local-maximum + quality gate (cv2's dilate-compare step), with an
-    # index tie-break so plateaus keep a single representative.
-    tie = (
-        (ys * w + xs).astype(jnp.float32)
-        * (jnp.finfo(jnp.float32).eps * 8.0)
-        * jnp.maximum(maxval, 1e-30)
-    )
-    resp_t = resp - tie
-    localmax3 = max_filter(resp_t, 1)
-    is_peak = (resp_t >= localmax3) & (resp >= thresh) & (resp > 0)
+    flat_idx = (ys * w + xs).astype(jnp.float32)
+
+    def window_peaks(value, mask, radius):
+        """True where the pixel is the maximum of ``value`` within ``radius``
+        among ``mask`` pixels; exact index tie-break, no bias term.
+
+        Exactness: two window-maximal pixels within ``radius`` of each other
+        necessarily have *equal* values (each lies in the other's window), so
+        breaking ties among them by lowest flat index never demotes a strictly
+        stronger corner. Chains of equal-valued maxima resolve conservatively
+        (only the lowest-index representative survives), same as before.
+        """
+        v = jnp.where(mask, value, -jnp.inf)
+        is_max = mask & (v >= max_filter(v, radius))
+        neg_idx = jnp.where(is_max, -flat_idx, -jnp.inf)
+        return is_max & (neg_idx >= max_filter(neg_idx, radius))
+
+    # 3x3 local-maximum + quality gate (cv2's dilate-compare step)
+    is_peak = window_peaks(resp, (resp >= thresh) & (resp > 0) & inside, 1)
 
     radius = max(int(min_distance), 1)
     if nms == "maxpool":
-        localmax = max_filter(jnp.where(is_peak, resp_t, -jnp.inf), radius)
-        is_corner = is_peak & (resp_t >= localmax)
+        is_corner = window_peaks(resp, is_peak, radius)
         flat = jnp.where(is_corner, resp, -1.0).reshape(-1)
         vals, idx = jax.lax.top_k(flat, max_corners)
         valid = vals > 0
@@ -133,8 +141,7 @@ def detect_corners(
     # spatially representative instead of clustered in the most-textured area;
     # at this radius the removed candidates are ones the sweep would suppress.
     thin_r = max(radius // 4, 1)
-    thinmax = max_filter(jnp.where(is_peak, resp_t, -jnp.inf), thin_r)
-    is_peak = is_peak & (resp_t >= thinmax)
+    is_peak = window_peaks(resp, is_peak, thin_r)
     flat = jnp.where(is_peak, resp, -1.0).reshape(-1)
     cvals, cidx = jax.lax.top_k(flat, candidates)
     cxy = jnp.stack(
