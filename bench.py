@@ -104,6 +104,58 @@ def measure_cpu_twin(frames, kf_ratio, n_cpu_frames=20):
     return n / dt
 
 
+def measure_twin_trajectory(frames, cfg):
+    """Full-pipeline OpenCV twin on the SAME frames: returns (poses, stats).
+
+    Trajectory parity signal only — its Python-loop timing is not the fps
+    baseline (see measure_cpu_twin for the op-level envelope)."""
+    try:
+        from stereo_vo_tpu.eval.cv_twin import run_cv_twin
+    except ImportError:
+        return None, None
+    try:
+        poses, stats, _ = run_cv_twin(iter(frames), cfg.camera, cfg.frontend)
+        return poses, stats
+    except ImportError:
+        return None, None
+
+
+def ate_pair(poses, gt, mask=None, align=False):
+    from stereo_vo_tpu.eval.ate import absolute_trajectory_error
+
+    if mask is not None:
+        poses, gt = poses[mask], gt[mask]
+    if len(poses) < 3:
+        return None
+    return round(absolute_trajectory_error(poses, gt, align=align)["rmse"], 3)
+
+
+def measure_stream_latency(cfg, frames, n=32):
+    """Per-frame wall latency of the online (chunk_size=0) path: the number a
+    20 Hz robot cares about (vo_node.cpp:139). Returns (p50_ms, p99_ms)."""
+    import jax
+
+    from stereo_vo_tpu.engine.step import VOEngine
+
+    engine = VOEngine(cfg, frames[0].left.shape)
+    state = engine.init_state()
+    state, _ = engine.bootstrap(
+        state, jax.numpy.asarray(frames[0].left), jax.numpy.asarray(frames[0].right)
+    )
+    lat = []
+    for i, f in enumerate(frames[1 : n + 1]):
+        t0 = time.perf_counter()
+        left = jax.numpy.asarray(f.left)
+        right = jax.numpy.asarray(f.right)
+        state, out = engine.step(state, left, right)
+        np.asarray(out.summary)  # pose available on host = frame done
+        if i > 0:  # first step call pays compilation
+            lat.append((time.perf_counter() - t0) * 1e3)
+    if not lat:
+        return None, None
+    return round(float(np.percentile(lat, 50)), 1), round(float(np.percentile(lat, 99)), 1)
+
+
 def measure_ba_iters(attempts=2):
     """LM iterations/s of the Schur solver on a large window (BASELINE.md
     "BA iterations/s" target). Uses a reference-sized problem (5 poses x 2048
@@ -161,7 +213,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--platform", default="auto")
     args = ap.parse_args()
 
@@ -185,16 +237,33 @@ def main():
 
     cpu_fps = measure_cpu_twin(frames, kf_ratio)
 
+    # --- accuracy parity, SAME frames both sides (VERDICT r1 item 2) -------
+    gt = world.gt_poses[: len(run.poses)]
     kf_mask = np.array([s["is_keyframe"] for s in run.frame_stats])
-    from stereo_vo_tpu.eval.ate import absolute_trajectory_error
-
-    ate_kf = (
-        absolute_trajectory_error(
-            run.poses[kf_mask], world.gt_poses[: len(run.poses)][kf_mask], align=False
+    acc = {
+        "ate_keyframes_m": ate_pair(run.poses, gt, kf_mask),
+        "ate_keyframes_aligned_m": ate_pair(run.poses, gt, kf_mask, align=True),
+        "ate_all_m": ate_pair(run.poses, gt),
+    }
+    twin_poses, twin_stats = measure_twin_trajectory(frames, cfg)
+    if twin_poses is not None:
+        twin_poses = twin_poses[: len(gt)]
+        twin_kf = np.array([s["is_keyframe"] for s in twin_stats])[: len(gt)]
+        acc.update(
+            twin_ate_keyframes_m=ate_pair(twin_poses, gt[: len(twin_poses)], twin_kf),
+            twin_ate_keyframes_aligned_m=ate_pair(
+                twin_poses, gt[: len(twin_poses)], twin_kf, align=True
+            ),
+            twin_ate_all_m=ate_pair(twin_poses, gt[: len(twin_poses)]),
         )
-        if kf_mask.sum() >= 3
-        else None
-    )
+        if acc["ate_all_m"] and acc["twin_ate_all_m"]:
+            acc["ate_vs_twin"] = round(acc["ate_all_m"] / acc["twin_ate_all_m"], 3)
+
+    try:
+        p50, p99 = measure_stream_latency(cfg, frames)
+    except Exception as e:
+        print(f"[bench] stream latency measurement failed: {e}", file=sys.stderr)
+        p50 = p99 = None
 
     try:
         ba_iters = measure_ba_iters()
@@ -211,7 +280,9 @@ def main():
             "frames": len(run.poses),
             "keyframes": kf,
             "cpu_twin_fps": round(cpu_fps, 2) if cpu_fps else None,
-            "ate_keyframes_m": round(ate_kf["rmse"], 3) if ate_kf else None,
+            **acc,
+            "stream_ms_p50": p50,
+            "stream_ms_p99": p99,
             "ba_lm_iters_per_sec": ba_iters,
             "image": "376x1241 synthetic (kitti00 intrinsics)",
         },

@@ -407,31 +407,44 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
     poses0, lm0 = prob.poses, prob.lm_pos
     cost0 = _lm_major_cost(poses0, lm0, prob, cam, cfg.min_depth, axis)
 
-    def body(carry, _):
-        poses, lm_pos, lam, cost, accepted = carry
+    def body(carry):
+        poses, lm_pos, lam, cost, accepted, it, rel, done = carry
         cand_p, cand_l = lm_major_step(poses, lm_pos, lam, prob, cam, cfg, axis)
         cand_cost = _lm_major_cost(cand_p, cand_l, prob, cam, cfg.min_depth, axis)
         ok = (cand_cost < cost) & jnp.isfinite(cand_cost)
         poses = jnp.where(ok, cand_p, poses)
         lm_pos = jnp.where(ok, cand_l, lm_pos)
         cost_new = jnp.where(ok, cand_cost, cost)
-        lam = jnp.clip(
+        new_lam = jnp.clip(
             jnp.where(ok, lam / 3.0, lam * 4.0), cfg.min_damping, cfg.max_damping
         )
         rel = jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-20)
-        return (poses, lm_pos, lam, cost_new, accepted + ok.astype(jnp.int32)), rel
+        # early exit (the jit analog of Ceres' function_tolerance + the 0.1 s
+        # budget, bundle_adjuster.cpp:9-11): an accepted step that improved the
+        # cost by under rel_tol, or damping saturated after repeated rejects,
+        # means further iterations cannot change the published pose materially
+        done = (ok & (rel < cfg.lm_rel_tol)) | (~ok & (lam >= cfg.max_damping))
+        return poses, lm_pos, new_lam, cost_new, accepted + ok.astype(jnp.int32), \
+            it + 1, rel, done
+
+    def cond(carry):
+        _, _, _, _, _, it, _, done = carry
+        return (it < cfg.max_lm_iters) & ~done
 
     # multiply by ones_like(cost0) so scalars carry the same varying-manual-axes
-    # metadata as the cost under shard_map (scan carry types must match)
+    # metadata as the cost under shard_map (while carry types must match)
+    ones = jnp.ones_like(cost0)
     init = (
         poses0,
         lm0,
-        jnp.asarray(cfg.init_damping, poses0.dtype) * jnp.ones_like(cost0),
+        jnp.asarray(cfg.init_damping, poses0.dtype) * ones,
         cost0,
-        jnp.array(0, jnp.int32) * jnp.zeros_like(cost0).astype(jnp.int32),
+        jnp.zeros_like(cost0).astype(jnp.int32),
+        jnp.zeros_like(cost0).astype(jnp.int32),
+        jnp.zeros_like(cost0),
+        jnp.zeros_like(cost0).astype(bool),
     )
-    (poses, lm_pos, _, cost, accepted), rels = jax.lax.scan(
-        body, init, None, length=cfg.max_lm_iters
+    poses, lm_pos, _, cost, accepted, _, last_rel, _ = jax.lax.while_loop(
+        cond, body, init
     )
-    last_rel = rels[-1] if cfg.max_lm_iters > 0 else jnp.zeros_like(cost0)
     return poses, lm_pos, cost0, cost, accepted, last_rel

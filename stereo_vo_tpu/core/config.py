@@ -73,6 +73,10 @@ class BackendConfig:
     # Ceres budget is 0.1 s wall-clock (bundle_adjuster.cpp:11); on TPU the solve is
     # a fixed iteration count tuned to land at equivalent accuracy.
     max_lm_iters: int = 12
+    # LM early-exit: stop after an accepted step improving cost by less than
+    # this fraction (the jit analog of Ceres' function_tolerance; Ceres default
+    # 1e-6 with a 0.1 s wall budget, bundle_adjuster.cpp:9-11)
+    lm_rel_tol: float = 1e-5
     init_damping: float = 1e-4
     min_damping: float = 1e-6
     max_damping: float = 1e8

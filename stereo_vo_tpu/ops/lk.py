@@ -67,6 +67,27 @@ def _extract_regions(stack_padded: jnp.ndarray, origins: jnp.ndarray,
     return extract_regions(stack_padded, origins, ry, rx)
 
 
+# Extra extraction margin (one sublane granule each side) so Scharr gradients
+# computed *on the extracted region* are interior-exact everywhere the sampler
+# can touch. Extracting the image channel alone and differentiating in-region
+# cuts the extraction DMA traffic 3x vs extracting [img, gx, gy] stacks —
+# region extraction is LK's dominant HBM cost.
+GRAD_MARGIN = 8
+
+
+def _extract_grad_regions(img_padded: jnp.ndarray, origins: jnp.ndarray, r: int):
+    """``img_padded [Hp, Wp]`` (padded by ``m + GRAD_MARGIN``), logical origins
+    ``[N, 2]`` (8-aligned, >= GRAD_MARGIN, <= dim - r - GRAD_MARGIN) ->
+    ``[N, 3, r, r]`` of (image, scharr_x, scharr_y), each channel equal to the
+    full-image filter restricted to the region."""
+    re = r + 2 * GRAD_MARGIN
+    reg = _extract_regions(img_padded[None], origins - GRAD_MARGIN, re, re)[:, 0]
+    gx = scharr_x(reg)
+    gy = scharr_y(reg)
+    stack = jnp.stack([reg, gx, gy], axis=1)
+    return stack[:, :, GRAD_MARGIN:GRAD_MARGIN + r, GRAD_MARGIN:GRAD_MARGIN + r]
+
+
 def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
     """Bilinear selector matrices ``[N, win, R]``: row i has weight ``1-frac``
     at column ``idx + i`` and ``frac`` at ``idx + i + 1``."""
@@ -95,7 +116,7 @@ def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
 
 
 def _lk_level(
-    prev_stack, next_img, img_shape, pts_prev, guess, active, half: int,
+    prev_img, next_img, img_shape, pts_prev, guess, active, half: int,
     slack: int, max_iters: int, eps: float, min_eig_threshold: float,
     is_level0: bool,
 ):
@@ -106,26 +127,27 @@ def _lk_level(
     # + up to 7 px alignment residual per axis (origins align down to 8 so the
     # Pallas DMA extraction path can slice HBM)
     rx = ry = ((win + 2 * slack + 9) + 7) // 8 * 8
-    m = half + slack + 1           # image pad
+    m = half + slack + 1 + GRAD_MARGIN   # image pad (incl. gradient margin)
     win_area = float(win * win)
 
-    stack_p = _pad_edge(prev_stack, m)
+    prev_p = _pad_edge(prev_img, m)
     next_p = _pad_edge(next_img[None], m)
-    hp, wp = stack_p.shape[-2:]
+    hp, wp = prev_p.shape[-2:]
 
     # Region origin (padded coords): centered on the *template* point for prev,
     # on the initial guess for next. Row origins align down to a multiple of 8
-    # (sublane tiling) so the Pallas DMA path can slice HBM directly.
+    # (sublane tiling) so the Pallas DMA path can slice HBM directly; clipping
+    # keeps GRAD_MARGIN of extractable image around every region.
     def origins(centers):
         ox = jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m
-        ox = jnp.clip((ox // 8) * 8, 0, wp - rx)
+        ox = jnp.clip((ox // 8) * 8, GRAD_MARGIN, wp - rx - GRAD_MARGIN)
         oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m
-        oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
+        oy = jnp.clip((oy // 8) * 8, GRAD_MARGIN, hp - ry - GRAD_MARGIN)
         return jnp.stack([ox, oy], axis=1)
 
     prev_org = origins(pts_prev)
     next_org = origins(guess)
-    prev_reg = _extract_regions(stack_p, prev_org, ry, rx)   # [N, 3, RY, RX]
+    prev_reg = _extract_grad_regions(prev_p, prev_org, rx)   # [N, 3, RY, RX]
     next_reg = _extract_regions(next_p, next_org, ry, rx)    # [N, 1, RY, RX]
 
     # Continuous region coordinates of a window top-left for image point p:
@@ -222,10 +244,9 @@ def lk_track_pyramid(
         lvl_slack = LK_SLACK_TOP if lvl == n_levels - 1 else slack
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
-        stack = jnp.stack([prev_img, scharr_x(prev_img), scharr_y(prev_img)])
         pts_l = pts / float(2 ** lvl)
         guess, ok = _lk_level(
-            stack, next_img, prev_img.shape, pts_l, guess, ok, half, lvl_slack,
+            prev_img, next_img, prev_img.shape, pts_l, guess, ok, half, lvl_slack,
             max_iters, eps, min_eig_threshold, is_level0=(lvl == 0),
         )
         if lvl > 0:
@@ -335,29 +356,29 @@ def lk_track_fwdbwd(
     cache = []
     for lvl in range(n_levels - 1, -1, -1):
         lvl_slack = slack_top if lvl == n_levels - 1 else slack
-        m = half + lvl_slack + 1
+        m = half + lvl_slack + 1 + GRAD_MARGIN
         rx = ry = ((win + 2 * lvl_slack + 9) + 7) // 8 * 8
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
         h, w = prev_img.shape
-        prev_stack = jnp.stack([prev_img, scharr_x(prev_img), scharr_y(prev_img)])
-        next_stack = jnp.stack([next_img, scharr_x(next_img), scharr_y(next_img)])
-        prev_p = _pad_edge(prev_stack, m)
-        next_p = _pad_edge(next_stack, m)
+        prev_p = _pad_edge(prev_img, m)
+        next_p = _pad_edge(next_img, m)
         hp, wp = prev_p.shape[-2:]
 
         def origins(centers):
             ox = jnp.floor(centers[:, 0]).astype(jnp.int32) - half - lvl_slack + m
-            ox = jnp.clip((ox // 8) * 8, 0, wp - rx)
+            ox = jnp.clip((ox // 8) * 8, GRAD_MARGIN, wp - rx - GRAD_MARGIN)
             oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - lvl_slack + m
-            oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
+            oy = jnp.clip((oy // 8) * 8, GRAD_MARGIN, hp - ry - GRAD_MARGIN)
             return jnp.stack([ox, oy], axis=1)
 
         pts_l = pts / float(2 ** lvl)
         prev_org = origins(pts_l)
         next_org = origins(guess)
-        prev_reg = _extract_regions(prev_p, prev_org, ry, rx)
-        next_reg = _extract_regions(next_p, next_org, ry, rx)
+        # both channels' gradients are needed: prev grads by the forward
+        # templates, next grads by the backward templates (roles swap)
+        prev_reg = _extract_grad_regions(prev_p, prev_org, rx)
+        next_reg = _extract_grad_regions(next_p, next_org, rx)
         cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m))
 
         tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)

@@ -150,20 +150,47 @@ def detect_corners(
     cvalid = cvals > 0
     r2 = float(min_distance) * float(min_distance)
 
-    def body(i, carry):
-        alive, accepted, count = carry
-        take = alive[i] & cvalid[i] & (count < max_corners)
-        d2 = jnp.sum((cxy - cxy[i]) ** 2, axis=1)
-        later = jnp.arange(candidates) > i
-        alive = alive & ~(take & later & (d2 < r2))
-        accepted = accepted.at[i].set(take)
-        return alive, accepted, count + take.astype(jnp.int32)
-
-    alive0 = jnp.ones(candidates, bool)
-    accepted0 = jnp.zeros(candidates, bool)
-    _, accepted, _ = jax.lax.fori_loop(
-        0, candidates, body, (alive0, accepted0, jnp.array(0, jnp.int32))
+    # Parallel greedy: simulate the sequential descending-response sweep as a
+    # fixed-point over "conflict with an earlier candidate" rounds. Candidate i
+    # is accepted the moment every earlier conflicting candidate is decided
+    # (killed), and killed the moment an earlier conflicting candidate is
+    # accepted — exactly the state candidate i observes at its turn of the
+    # sequential sweep, so the accepted set is identical. Rounds needed = the
+    # longest suppression chain (single digits in practice) instead of one
+    # sequential step per candidate; each round is one [C, C] mat-vec.
+    d2 = jnp.sum((cxy[:, None, :] - cxy[None, :, :]) ** 2, axis=-1)
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (candidates, candidates), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (candidates, candidates), 1)
     )
+    # conflicts[j, i]: earlier candidate j suppresses i if accepted
+    conflicts = ((d2 < r2) & earlier & cvalid[:, None] & cvalid[None, :]).astype(
+        jnp.float32
+    )
+
+    def round_(state):
+        accepted, killed, _ = state
+        pending = cvalid & ~accepted & ~killed
+        blocked = (pending.astype(jnp.float32) @ conflicts) > 0.0
+        by_acc = (accepted.astype(jnp.float32) @ conflicts) > 0.0
+        new_killed = killed | (pending & by_acc)
+        new_accepted = accepted | (pending & ~by_acc & ~blocked)
+        still = cvalid & ~new_accepted & ~new_killed
+        return new_accepted, new_killed, jnp.any(still)
+
+    def round_cond(state):
+        return state[2]
+
+    accepted, _, _ = jax.lax.while_loop(
+        round_cond,
+        round_,
+        (jnp.zeros(candidates, bool), jnp.zeros(candidates, bool), jnp.any(cvalid)),
+    )
+    # cap at max_corners: the capped sequential sweep accepts exactly the first
+    # max_corners of the uncapped accepted sequence (later acceptances only
+    # ever suppress candidates that would rank past the cap themselves)
+    rank = jnp.cumsum(accepted.astype(jnp.int32))
+    accepted = accepted & (rank <= max_corners)
 
     # pack accepted (already in descending-response order) into the output
     order = jnp.argsort(jnp.logical_not(accepted), stable=True)
