@@ -65,6 +65,7 @@ def _cmd_run(args) -> int:
         resume_from=args.resume,
         chunk_size=args.chunk_size,
         save_track_images=args.save_track_images,
+        save_world_points=args.save_world_points,
         progress=not args.quiet,
     )
 
@@ -139,6 +140,9 @@ def main(argv=None) -> int:
                     help="offline fast path: frames per device program (0 = streaming)")
     pr.add_argument("--save-track-images", type=int, default=0, metavar="N",
                     help="write a feature-track debug image every N frames")
+    pr.add_argument("--save-world-points", action="store_true",
+                    help="dump the live landmark table per keyframe "
+                         "(the reference's /vo/features debug output)")
     pr.add_argument("--resume", default=None, help="checkpoint file to resume from")
     pr.add_argument("--plot", action="store_true")
     pr.add_argument("--quiet", action="store_true")

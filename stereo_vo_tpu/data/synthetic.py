@@ -90,6 +90,10 @@ class SyntheticStereoSequence:
     bg_margin: float = 30.0                  # background plane this far past the end
     point_depth: Tuple[float, float] = (6.0, 30.0)
     rate_hz: float = 11.0
+    # Optional real photograph [Ht, Wt] used as the background-plane texture
+    # (zero-meaned internally) instead of band-limited noise: gives rendered
+    # frames natural image statistics while keeping exact geometry.
+    texture: Optional[np.ndarray] = None
 
     def __post_init__(self):
         # Pure numpy: the data plane must never touch the accelerator
@@ -153,7 +157,11 @@ class SyntheticStereoSequence:
 
         # background plane + texture
         self._bg_z = total_z + self.bg_margin
-        self._tex = _smooth_noise(rng, 512, 512, amp=26.0)
+        if self.texture is not None:
+            t = np.asarray(self.texture, np.float32)
+            self._tex = t - float(t.mean())
+        else:
+            self._tex = _smooth_noise(rng, 512, 512, amp=26.0)
         self._tex_scale = 512 / (2 * half_w * 1.6 * self._bg_z)
 
         # cached pixel grid
@@ -178,17 +186,18 @@ class SyntheticStereoSequence:
         xw = c[0] + tparam * dxw
         yw = c[1] + tparam * dyw
         # texture lookup (wrap, bilinear)
-        tu = xw * self._tex_scale * 512
-        tv = yw * self._tex_scale * 512
+        tex = self._tex
+        th, tw = tex.shape
+        tu = xw * self._tex_scale * tw
+        tv = yw * self._tex_scale * th
         t0u = np.floor(tu).astype(np.int64)
         t0v = np.floor(tv).astype(np.int64)
         fu = (tu - t0u).astype(np.float32)
         fv = (tv - t0v).astype(np.float32)
-        tex = self._tex
-        i0 = np.mod(t0v, 512)
-        i1 = np.mod(t0v + 1, 512)
-        j0 = np.mod(t0u, 512)
-        j1 = np.mod(t0u + 1, 512)
+        i0 = np.mod(t0v, th)
+        i1 = np.mod(t0v + 1, th)
+        j0 = np.mod(t0u, tw)
+        j1 = np.mod(t0u + 1, tw)
         return (
             tex[i0, j0] * (1 - fv) * (1 - fu)
             + tex[i1, j0] * fv * (1 - fu)

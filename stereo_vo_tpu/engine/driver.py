@@ -52,6 +52,7 @@ def run_vo(
     chunk_size: int = 0,
     preload_device: bool = False,
     save_track_images: int = 0,
+    save_world_points: bool = False,
     progress: bool = False,
 ) -> VORun:
     """Run the full VO pipeline over a stereo stream.
@@ -132,6 +133,24 @@ def run_vo(
 
             save_state(os.path.join(out_dir, "checkpoint.npz"), state, frame_index + 1)
 
+    def dump_world_points(st, frame_index):
+        """Write the live landmark table — the working equivalent of the
+        reference's (disabled) ``/vo/features`` marker publisher
+        (``vo_node.cpp:191-222``). One ``id x y z refcount`` row per live
+        landmark, per keyframe (streaming) / per chunk end (chunked)."""
+        if not (save_world_points and out_dir):
+            return
+        wdir = os.path.join(out_dir, "world_points")
+        os.makedirs(wdir, exist_ok=True)
+        win = st.window
+        valid = np.asarray(win.lm_valid)
+        pos = np.asarray(win.lm_pos)[valid]
+        refc = np.asarray(win.lm_refcount)[valid]
+        ids = np.nonzero(valid)[0]
+        with open(os.path.join(wdir, f"points_{frame_index:06d}.txt"), "w") as f:
+            for i, p, rc in zip(ids, pos, refc):
+                f.write(f"{i} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {rc}\n")
+
     pending_chunk: List = []
     # double buffering: results of the previously dispatched chunk are fetched
     # only after the next chunk is dispatched, so upload/compute overlap
@@ -151,13 +170,17 @@ def run_vo(
             t_start = time.perf_counter()
             n_timed_from = n_done + len(fr)
         n_before = n_done
+        any_kf = False
         for f, pose, summ in zip(fr, ch_poses, ch_summaries):
             _, row = parse_summary(summ)
+            any_kf = any_kf or row["is_keyframe"]
             # chunked mode checkpoints only at chunk boundaries: by drain time
             # the nonlocal `state` already reflects the NEXT dispatched chunk,
             # so the per-frame checkpoint in record() would pair a too-new
             # state with a too-old resume index (duplicating frames on resume)
             record(f.index, pose, row, f.gt_pose, allow_ckpt=False)
+        if any_kf:
+            dump_world_points(state_after, fr[-1].index)
         if (
             checkpoint_every
             and out_dir
@@ -197,6 +220,8 @@ def run_vo(
                 _set_state(st_new)
                 pose, row = parse_summary(out.summary)
                 record(f.index, pose, row, f.gt_pose)
+                if row["is_keyframe"]:
+                    dump_world_points(state, f.index)
             pending_chunk.clear()
 
     def _set_inflight(v):
@@ -245,6 +270,8 @@ def run_vo(
                         os.path.join(out_dir, f"tracks_{frame.index:06d}.png"), img
                     )
                 record(frame.index, pose, row, frame.gt_pose)
+                if row["is_keyframe"]:
+                    dump_world_points(state, frame.index)
         try:
             frame = next(it)
         except StopIteration:

@@ -82,6 +82,41 @@ def box_filter(img: jnp.ndarray, radius: int, mode: str = "reflect") -> jnp.ndar
     )
 
 
+def sliding_sum(padded: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Sum over every length-``k`` window along ``axis`` via log-tree doubling.
+
+    ``padded`` must carry ``k - 1`` extra elements along ``axis``; the output
+    has ``padded.shape[axis] - k + 1`` entries, entry ``i`` summing
+    ``padded[i : i + k]``. ~2*log2(k) shifted adds expressed as static slices
+    (contiguous views XLA fuses into a couple of VPU passes) — no cumsums, no
+    rolls, both of which lower poorly on TPU lanes.
+    """
+    n_out = padded.shape[axis] - k + 1
+    arrs = {1: padded}
+    c = 1
+    while c * 2 <= k:
+        a = arrs[c]
+        n = a.shape[axis]
+        arrs[c * 2] = jax.lax.slice_in_dim(a, 0, n - c, axis=axis) + \
+            jax.lax.slice_in_dim(a, c, n, axis=axis)
+        c *= 2
+    out = None
+    off = 0
+    for c in sorted(arrs, reverse=True):
+        if k & c:
+            piece = jax.lax.slice_in_dim(arrs[c], off, off + n_out, axis=axis)
+            out = piece if out is None else out + piece
+            off += c
+    return out
+
+
+def box_sum_tree(img: jnp.ndarray, radius: int, mode: str = "reflect") -> jnp.ndarray:
+    """(2r+1)^2 box sum via separable sliding sums (see ``sliding_sum``)."""
+    k = 2 * radius + 1
+    p = _pad(img, radius, radius, mode)
+    return sliding_sum(sliding_sum(p, k, axis=-2), k, axis=-1)
+
+
 def max_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     """(2r+1)^2 sliding max — separable, log-depth doubling.
 

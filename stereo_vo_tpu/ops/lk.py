@@ -181,7 +181,7 @@ def _lk_level(
         )
 
     def body(state):
-        guess, converged, it = state
+        guess, converged, prev_step, it = state
         pos = guess - half + m - next_org_f
         pos = jnp.clip(pos, 0.0, None)
         pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
@@ -192,18 +192,27 @@ def _lk_level(
         dx = -(inv11 * bx + inv12 * by)
         dy = -(inv12 * bx + inv22 * by)
         step = jnp.stack([dx, dy], axis=-1)
+        # OpenCV's oscillation break: a reversing update direction means the
+        # feature is bouncing around its optimum — back off half the step and
+        # stop it (lkpyramid's delta.ddot(prevDelta) < -0.01 check). Without a
+        # per-feature break, one oscillator drags the whole batch to max_iters.
+        osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
+        step = jnp.where(osc[:, None], 0.5 * step, step)
         upd = solvable & ~converged
         new_guess = jnp.where(upd[:, None], guess + step, guess)
         small = jnp.sum(step * step, axis=-1) < eps * eps
         out_of_region = ~in_region(new_guess)
-        return new_guess, converged | small | out_of_region | ~solvable, it + 1
+        return (new_guess, converged | small | osc | out_of_region | ~solvable,
+                jnp.where(upd[:, None], step, prev_step), it + 1)
 
     def cond(state):
-        _, converged, it = state
+        _, converged, _, it = state
         return (it < max_iters) & ~jnp.all(converged)
 
     converged0 = ~solvable
-    guess, _, _ = jax.lax.while_loop(cond, body, (guess, converged0, 0))
+    guess, _, _, _ = jax.lax.while_loop(
+        cond, body, (guess, converged0, jnp.zeros_like(guess), 0)
+    )
 
     # OpenCV only kills a feature when its point leaves the image; our region
     # bound additionally fails features that ran off their slack window.
@@ -304,7 +313,7 @@ def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
         )
 
     def body(state):
-        guess, converged, it = state
+        guess, converged, prev_step, it = state
         pos = jnp.clip(guess - half + m - org, 0.0, None)
         pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
         j_patch = _sample(regions_j[:, :1], pos, win)[:, 0]
@@ -314,16 +323,22 @@ def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
         step = jnp.stack(
             [-(inv11 * bx + inv12 * by), -(inv12 * bx + inv22 * by)], axis=-1
         )
+        # OpenCV's oscillation break (see _lk_level.body)
+        osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
+        step = jnp.where(osc[:, None], 0.5 * step, step)
         upd = solvable & ~converged
         new_guess = jnp.where(upd[:, None], guess + step, guess)
         small = jnp.sum(step * step, axis=-1) < eps * eps
-        return new_guess, converged | small | ~in_region(new_guess) | ~solvable, it + 1
+        return (new_guess, converged | small | osc | ~in_region(new_guess) | ~solvable,
+                jnp.where(upd[:, None], step, prev_step), it + 1)
 
     def cond(state):
-        _, converged, it = state
+        _, converged, _, it = state
         return (it < max_iters) & ~jnp.all(converged)
 
-    guess, _, _ = jax.lax.while_loop(cond, body, (guess, ~solvable, 0))
+    guess, _, _, _ = jax.lax.while_loop(
+        cond, body, (guess, ~solvable, jnp.zeros_like(guess), 0)
+    )
     return guess, solvable, in_region
 
 

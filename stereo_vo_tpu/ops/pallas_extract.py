@@ -112,6 +112,128 @@ def _extract_regions_band(stack, origins, r):
                       preferred_element_type=jnp.float32)
 
 
+def _tiled_kernel(origins_ref, tiles_ref, out_ref, sems, *, nty, ntx, tx_max):
+    """Per-feature DMA of whole (8, 128) tiles from the retiled image.
+
+    The row-band kernel above moves ~R strided 1 KB row slivers per feature —
+    descriptor-count-bound. Fetching from a [TY, TX, 8, 128] retiling moves
+    nty*ntx contiguous 4 KB tiles per feature instead (~4x fewer, 4x larger
+    chunks), which measured ~3x faster at LK region sizes."""
+    i = pl.program_id(0)
+
+    def issue(k):
+        n = i * _FB + k
+        ty = origins_ref[n, 1] // 8
+        tx = jnp.clip(origins_ref[n, 0] // 128, 0, tx_max)
+        return pltpu.make_async_copy(
+            tiles_ref.at[pl.ds(ty, nty), pl.ds(tx, ntx)],
+            out_ref.at[k],
+            sems.at[k],
+        )
+
+    for k in range(_FB):
+        issue(k).start()
+    for k in range(_FB):
+        issue(k).wait()
+
+
+def _extract_regions_tiled(img, origins, r):
+    """TPU fast path for single-channel stacks: tile DMA + one-hot lane crop."""
+    n = origins.shape[0]
+    hp, wp = img.shape
+    hp_pad = _cdiv(hp, 8) * 8
+    wp_pad = max(_cdiv(wp, 128) * 128, 128)
+    span = min(wp_pad, _cdiv(128 + r, 128) * 128)
+    nty, ntx = r // 8, span // 128
+    img_p = jnp.pad(img, ((0, hp_pad - hp), (0, wp_pad - wp)))
+    tiles = img_p.reshape(hp_pad // 8, 8, wp_pad // 128, 128).transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // _FB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (_FB, nty, ntx, 8, 128),
+            lambda i, origins: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_FB,))],
+    )
+    bands = pl.pallas_call(
+        functools.partial(
+            _tiled_kernel, nty=nty, ntx=ntx, tx_max=wp_pad // 128 - ntx
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, nty, ntx, 8, 128), img.dtype),
+    )(origins, tiles)
+    # [N, nty, ntx, 8, 128] -> [N, r, span]
+    bands = bands.transpose(0, 1, 3, 2, 4).reshape(n, r, span)
+
+    band_start = jnp.clip((origins[:, 0] // 128), 0, wp_pad // 128 - ntx) * 128
+    off = origins[:, 0] - band_start                            # [N]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 1)
+    onehot = (s_idx[None] == off[:, None, None] + j_idx[None]).astype(img.dtype)
+    return jnp.einsum("nrs,nsj->nrj", bands, onehot,
+                      preferred_element_type=jnp.float32)[:, None]
+
+
+def _vmem_kernel(origins_ref, img_ref, out_ref, *, r, span, wp_pad):
+    """Whole image resident in VMEM; per-feature region copy as aligned vector
+    moves. Row origins are 8-aligned (vreg-row aligned) and the lane band is
+    128-aligned (lane-tile aligned), so each copy is pure vreg traffic with no
+    DMA descriptor cost — the DMA variants above pay ~2 us *per feature* in
+    descriptor issue alone, which dominates extraction at N=512."""
+    i = pl.program_id(0)
+
+    for k in range(_FB):
+        n = i * _FB + k
+        oy = pl.multiple_of(origins_ref[n, 1], 8)
+        bx = jnp.minimum((origins_ref[n, 0] // 128) * 128, wp_pad - span)
+        bx = pl.multiple_of(jnp.maximum(bx, 0), 128)
+        out_ref[k] = img_ref[pl.ds(oy, r), pl.ds(bx, span)]
+
+
+def _extract_regions_vmem(img, origins, r):
+    """TPU fast path for single-channel stacks: VMEM-resident image + aligned
+    vector-copy extraction + one-hot lane crop."""
+    n = origins.shape[0]
+    hp, wp = img.shape
+    hp_pad = _cdiv(hp, 8) * 8
+    wp_pad = max(_cdiv(wp, 128) * 128, 128)
+    span = min(wp_pad, _cdiv(128 + r, 128) * 128)
+    img_p = jnp.pad(img, ((0, hp_pad - hp), (0, wp_pad - wp)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // _FB,),
+        in_specs=[
+            pl.BlockSpec(
+                (hp_pad, wp_pad), lambda i, origins: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (_FB, r, span),
+            lambda i, origins: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    bands = pl.pallas_call(
+        functools.partial(_vmem_kernel, r=r, span=span, wp_pad=wp_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, r, span), img.dtype),
+    )(origins, img_p)
+
+    band_start = jnp.clip(origins[:, 0] // 128, 0, wp_pad // 128 - span // 128) * 128
+    off = origins[:, 0] - band_start                            # [N]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 1)
+    onehot = (s_idx[None] == off[:, None, None] + j_idx[None]).astype(img.dtype)
+    return jnp.einsum("nrs,nsj->nrj", bands, onehot,
+                      preferred_element_type=jnp.float32)[:, None]
+
+
 def extract_regions(stack: jnp.ndarray, origins: jnp.ndarray, ry: int, rx: int):
     """``stack [C, Hp, Wp]`` + ``origins [N, 2]`` (x, y) -> ``[N, C, RY, RX]``.
 
@@ -120,13 +242,18 @@ def extract_regions(stack: jnp.ndarray, origins: jnp.ndarray, ry: int, rx: int):
     """
     n = origins.shape[0]
     c, hp, wp = stack.shape
-    use_band = (
+    use_pallas = (
         jax.default_backend() not in ("cpu",)
         and os.environ.get("STEREO_VO_NO_PALLAS", "0") != "1"
         and n % _FB == 0
         and ry == rx
         and ry % 8 == 0
     )
-    if use_band:
+    if use_pallas and c == 1:
+        # image must fit in VMEM next to double-buffered output blocks
+        if (hp + 7) // 8 * 8 * max((wp + 127) // 128 * 128, 128) * 4 <= 6 * 2**20:
+            return _extract_regions_vmem(stack[0], origins, ry)
+        return _extract_regions_tiled(stack[0], origins, ry)
+    if use_pallas:
         return _extract_regions_band(stack, origins, ry)
     return _extract_regions_vmap(stack, origins, ry, rx)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from stereo_vo_tpu.ops.filters import box_filter, sobel_x
+from stereo_vo_tpu.ops.filters import box_filter, box_sum_tree, sobel_x
 
 
 def _xsobel_prefilter(img: jnp.ndarray, cap: int) -> jnp.ndarray:
@@ -49,17 +49,24 @@ def stereo_bm_disparity(
     rpre = _xsobel_prefilter(right, prefilter_cap)
 
     # SAD cost volume [D, H, W]: right shifted by d, |diff| box-summed.
-    # Shift via jnp.roll + mask of the invalid left band (x - d < 0).
+    # TPU-deliberate structure: the shift is a *static* slice of a left-padded
+    # image per (unrolled) d — dynamic `jnp.roll` does unaligned lane rotations
+    # which are slow — and the 21x21 box is a log-tree of shifted adds
+    # (sliding_sum) instead of per-d integral-image cumsums; XLA fuses each
+    # d's diff+tree chain into a couple of VPU passes.
     xs = jnp.arange(w)
+    r_padded = jnp.pad(rpre, ((0, 0), (num_disparities, 0)))
 
     def cost_for_d(d):
-        shifted = jnp.roll(rpre, d, axis=1)
+        shifted = jax.lax.slice(
+            r_padded, (0, num_disparities - d), (h, num_disparities - d + w)
+        )
         diff = jnp.abs(lpre - shifted)
-        # columns x < d see wrapped data -> give them a huge diff
+        # columns x < d have no right-image counterpart -> huge diff
         diff = jnp.where(xs[None, :] >= d, diff, 1e6)
-        return box_filter(diff, radius)
+        return box_sum_tree(diff, radius)
 
-    costs = jax.vmap(cost_for_d)(jnp.arange(num_disparities))  # [D, H, W]
+    costs = jnp.stack([cost_for_d(d) for d in range(num_disparities)])  # [D, H, W]
 
     best_d = jnp.argmin(costs, axis=0)                          # [H, W]
     best_c = jnp.min(costs, axis=0)
