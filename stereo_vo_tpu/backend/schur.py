@@ -319,8 +319,13 @@ def _lm_major_cost(poses, lm_pos, prob: LandmarkMajorProblem, cam, min_depth, ax
     return cost
 
 
-def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis):
-    """One damped Schur step on landmark-major (possibly sharded) arrays."""
+def _reduced_camera_system(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam,
+                           cfg, axis):
+    """Build the damped, gauge-fixed reduced camera system.
+
+    Returns ``(s [W,6,W,6], rhs [W,6], v_inv, wl, g_l, lm_active, free)`` —
+    everything ``lm_major_step`` needs to solve and back-substitute, exposed
+    separately so diagnostics (condition probe) see the exact same system."""
     from stereo_vo_tpu.core.geometry import pose_q, pose_t, rot_apply
 
     l, w = prob.obs_valid.shape
@@ -382,12 +387,53 @@ def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis
     s = s * fm[:, None, None, None] * fm[None, None, :, None]
     s = s + jnp.einsum("wv,ab->wavb", jnp.diag(1.0 - fm), jnp.eye(6, dtype=dtype))
     rhs = rhs * fm[:, None]
+    return s, rhs, v_inv, wl, g_l, lm_active, free
+
+
+def reduced_camera_condition(prob: LandmarkMajorProblem, cam, cfg,
+                             lam: float = 0.0):
+    """2-norm condition number of the (damped, gauge-fixed) reduced camera
+    system — the solver-trust probe for large windows: f32 ``solve`` loses
+    ~log10(cond) digits, so cond >~ 1e6 warrants ``reduced_solve_refine`` > 0
+    or the f64 island (``reduced_solve_f64``)."""
+    dtype = prob.poses.dtype
+    s, *_ = _reduced_camera_system(
+        prob.poses, prob.lm_pos, jnp.asarray(lam, dtype), prob, cam, cfg, None
+    )
+    w = prob.poses.shape[0]
+    n = w * 6
+    sv = jnp.linalg.svd(s.reshape(n, n), compute_uv=False)
+    return sv[0] / jnp.maximum(sv[-1], jnp.finfo(dtype).tiny)
+
+
+def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis):
+    """One damped Schur step on landmark-major (possibly sharded) arrays."""
+    dtype = poses.dtype
+    w = poses.shape[0]
+    s, rhs, v_inv, wl, g_l, lm_active, free = _reduced_camera_system(
+        poses, lm_pos, lam, prob, cam, cfg, axis
+    )
+    fm = free.astype(dtype)
 
     n = w * 6
-    delta_p = jnp.linalg.solve(
-        s.reshape(n, n) + 1e-10 * jnp.eye(n, dtype=dtype), rhs.reshape(n)
-    ).reshape(w, 6)
-    delta_p = delta_p * fm[:, None]
+    s_mat = s.reshape(n, n) + 1e-10 * jnp.eye(n, dtype=dtype)
+    rhs_v = rhs.reshape(n)
+    if getattr(cfg, "reduced_solve_f64", False) and jax.config.jax_enable_x64:
+        # f64 island: the reduced system is tiny ((W*6)^2), so promoting just
+        # this solve recovers Ceres' double-precision DENSE_SCHUR behavior
+        # (bundle_adjuster.cpp:9) at negligible cost
+        delta_flat = jnp.linalg.solve(
+            s_mat.astype(jnp.float64), rhs_v.astype(jnp.float64)
+        ).astype(dtype)
+    else:
+        delta_flat = jnp.linalg.solve(s_mat, rhs_v)
+        # mixed-precision iterative refinement: one residual-correction pass
+        # recovers most of the accuracy f32 loses on ill-conditioned big
+        # windows, reusing the already-computed solve path
+        for _ in range(int(getattr(cfg, "reduced_solve_refine", 0))):
+            resid = rhs_v - s_mat @ delta_flat
+            delta_flat = delta_flat + jnp.linalg.solve(s_mat, resid)
+    delta_p = delta_flat.reshape(w, 6) * fm[:, None]
 
     # local landmark back-substitution
     wtdp = jnp.einsum("lwab,wa->lb", wl, delta_p)
@@ -411,21 +457,29 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
         poses, lm_pos, lam, cost, accepted, it, rel, done = carry
         cand_p, cand_l = lm_major_step(poses, lm_pos, lam, prob, cam, cfg, axis)
         cand_cost = _lm_major_cost(cand_p, cand_l, prob, cam, cfg.min_depth, axis)
-        ok = (cand_cost < cost) & jnp.isfinite(cand_cost)
+        # `upd` freezes the carry once done: under vmap (batched solves) the
+        # loop keeps executing until EVERY batch element is done, and already-
+        # converged elements must not keep taking steps (batched results must
+        # equal per-problem results bit-for-bit)
+        upd = ~done
+        ok = (cand_cost < cost) & jnp.isfinite(cand_cost) & upd
         poses = jnp.where(ok, cand_p, poses)
         lm_pos = jnp.where(ok, cand_l, lm_pos)
         cost_new = jnp.where(ok, cand_cost, cost)
-        new_lam = jnp.clip(
-            jnp.where(ok, lam / 3.0, lam * 4.0), cfg.min_damping, cfg.max_damping
+        new_lam = jnp.where(
+            upd,
+            jnp.clip(jnp.where(ok, lam / 3.0, lam * 4.0),
+                     cfg.min_damping, cfg.max_damping),
+            lam,
         )
-        rel = jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-20)
+        rel = jnp.where(upd, jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-20), rel)
         # early exit (the jit analog of Ceres' function_tolerance + the 0.1 s
         # budget, bundle_adjuster.cpp:9-11): an accepted step that improved the
         # cost by under rel_tol, or damping saturated after repeated rejects,
         # means further iterations cannot change the published pose materially
-        done = (ok & (rel < cfg.lm_rel_tol)) | (~ok & (lam >= cfg.max_damping))
+        done = done | (ok & (rel < cfg.lm_rel_tol)) | (upd & ~ok & (lam >= cfg.max_damping))
         return poses, lm_pos, new_lam, cost_new, accepted + ok.astype(jnp.int32), \
-            it + 1, rel, done
+            it + jnp.where(upd, 1, 0).astype(jnp.int32), rel, done
 
     def cond(carry):
         _, _, _, _, _, it, _, done = carry

@@ -77,6 +77,13 @@ class BackendConfig:
     # this fraction (the jit analog of Ceres' function_tolerance; Ceres default
     # 1e-6 with a 0.1 s wall budget, bundle_adjuster.cpp:9-11)
     lm_rel_tol: float = 1e-5
+    # reduced-camera-solve precision controls (Ceres runs f64 DENSE_SCHUR,
+    # bundle_adjuster.cpp:9; on TPU the f32 solve of big ill-conditioned
+    # windows can lose accuracy):
+    # - refine: mixed-precision iterative-refinement passes on the f32 solve
+    # - f64: promote just the (W*6)^2 solve to float64 (needs jax_enable_x64)
+    reduced_solve_refine: int = 1
+    reduced_solve_f64: bool = False
     init_damping: float = 1e-4
     min_damping: float = 1e-6
     max_damping: float = 1e8

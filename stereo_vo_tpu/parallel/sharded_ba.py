@@ -57,6 +57,22 @@ def sharded_bundle_adjust(
 
     prob = window_to_landmark_major(window)
 
+    poses, lm_pos, cost0, cost1 = sharded_lm_solve(prob, cam, cfg, mesh, lm_axis)
+    return window._replace(poses=poses, lm_pos=lm_pos), cost0, cost1
+
+
+def sharded_lm_solve(
+    prob: LandmarkMajorProblem,
+    cam: CameraInfo,
+    cfg: BackendConfig,
+    mesh: Mesh,
+    lm_axis: str = "lm",
+):
+    """Landmark-sharded LM solve on a raw landmark-major problem.
+
+    Returns ``(poses, lm_pos, cost0, cost1)``; equals the single-device
+    ``lm_loop`` up to summation order.
+    """
     lm_sharded = P(lm_axis)
     repl = P()
     in_specs = LandmarkMajorProblem(
@@ -76,8 +92,7 @@ def sharded_bundle_adjust(
         poses, lm_pos, c0, c1, _, _ = lm_loop(p, cam, cfg, lm_axis)
         return poses, lm_pos, c0, c1
 
-    poses, lm_pos, cost0, cost1 = solve(prob)
-    return window._replace(poses=poses, lm_pos=lm_pos), cost0, cost1
+    return solve(prob)
 
 
 def dp_sharded_bundle_adjust(

@@ -97,3 +97,30 @@ def test_dp_sharded_batch(rng):
             np.asarray(poses_b[i]), np.asarray(solved.poses), rtol=1e-4, atol=1e-5
         )
         np.testing.assert_allclose(c1_b[i], stats.final_cost, rtol=1e-3, atol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    """Single-host behavior of the multi-host bootstrap + data plane."""
+    from stereo_vo_tpu.parallel.distributed import initialize_multihost, shard_for_host
+
+    idx, cnt = initialize_multihost()  # no coordinator configured -> no-op
+    assert idx == 0 and cnt == 1
+    assert shard_for_host(list(range(7))) == list(range(7))
+    # explicit multi-process split: disjoint cover, near-even sizes
+    items = list(range(11))
+    parts = [shard_for_host(items, i, 3) for i in range(3)]
+    assert sum(parts, []) == items
+    assert [len(p) for p in parts] == [4, 4, 3]
+
+
+def test_host_local_problem_to_global_single_process():
+    import numpy as np
+    import jax
+
+    from stereo_vo_tpu.parallel.distributed import host_local_problem_to_global
+    from stereo_vo_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2,), ("dp",), devices=jax.devices()[:2])
+    local = {"a": np.arange(8, dtype=np.float32).reshape(2, 4)}
+    glob = host_local_problem_to_global(local, mesh)
+    np.testing.assert_array_equal(np.asarray(glob["a"]), local["a"])
