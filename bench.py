@@ -213,14 +213,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--platform", default="auto")
     args = ap.parse_args()
 
+    if args.chunk is None:
+        args.chunk = 16 if args.quick else 64
     n_frames = 48 if args.quick else args.frames
     # bootstrap frame + whole chunks only (a partial tail would stream through
-    # engine.step, whose first-use compile would pollute the timed region)
-    n_frames = 1 + max(1, round((n_frames - 1) / args.chunk)) * args.chunk
+    # engine.step, whose first-use compile would pollute the timed region);
+    # at least 2 chunks — the first absorbs compilation and is untimed
+    n_frames = 1 + max(2, round((n_frames - 1) / args.chunk)) * args.chunk
 
     if args.platform != "auto":
         import jax
