@@ -64,7 +64,30 @@ def _inv3x3(m: jnp.ndarray, eps: float) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-def _masked_system(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth):
+def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight ω per observation for the Huber loss on ``‖r‖`` (r [..., 2]).
+
+    ω = 1 inside the quadratic zone, δ/‖r‖ outside; multiplying residual AND
+    Jacobians by √ω makes the Gauss-Newton system that of the robustified
+    objective (first-order / Triggs approximation). δ <= 0 disables (exact
+    reference behavior: plain squared loss)."""
+    if delta <= 0:
+        return jnp.ones(r.shape[:-1], r.dtype)
+    norm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    return jnp.minimum(1.0, delta / norm)
+
+
+def _huber_rho(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Per-observation Huber cost (matches ``_huber_weight``'s objective)."""
+    sq = jnp.sum(r * r, axis=-1)
+    if delta <= 0:
+        return 0.5 * sq
+    norm = jnp.sqrt(sq + 1e-12)
+    return jnp.where(norm <= delta, 0.5 * sq, delta * (norm - 0.5 * delta))
+
+
+def _masked_system(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth,
+                   huber_delta=0.0):
     """Residuals, tangent Jacobians and the observation mask for the window.
 
     A residual is active iff its observation is valid, its pose is valid, its
@@ -91,17 +114,19 @@ def _masked_system(poses, lm_pos, window: WindowState, cam: CameraInfo, min_dept
     # NaN-safe masking: invalid/degenerate observations can produce inf/nan
     # residuals (z ~ 0), so select rather than multiply.
     r = jnp.where(mask[..., None], r, 0.0)
+    sw = jnp.sqrt(_huber_weight(r, huber_delta))[..., None]
 
     # Fold 2x7 ambient pose Jacobian to 2x6 tangent via the lift matrix.
     lift = quat_lift_jacobian(poses[:, 0:4])          # [W, 4, 3]
     jq = jnp.einsum("wfij,wjk->wfik", jp7[..., 0:4], lift)
     jp6 = jnp.concatenate([jq, jp7[..., 4:7]], axis=-1)
-    jp6 = jnp.where(mask[..., None, None], jp6, 0.0)
-    jl = jnp.where(mask[..., None, None], jl, 0.0)
-    return r, jp6, jl, mask
+    jp6 = jnp.where(mask[..., None, None], jp6 * sw[..., None], 0.0)
+    jl = jnp.where(mask[..., None, None], jl * sw[..., None], 0.0)
+    return r * sw, jp6, jl, mask
 
 
-def _cost(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth):
+def _cost(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth,
+          huber_delta=0.0):
     w, f = window.obs_valid.shape
     pose_b = jnp.broadcast_to(poses[:, None, :], (w, f, 7))
     pts = lm_pos[window.obs_lm]
@@ -116,7 +141,7 @@ def _cost(poses, lm_pos, window: WindowState, cam: CameraInfo, min_depth):
         & (z > min_depth)
     )
     r = jnp.where(mask[..., None], r, 0.0)
-    cost = 0.5 * jnp.sum(r * r)
+    cost = jnp.sum(_huber_rho(r, huber_delta))
     # stereo prior term (matches _lm_major_cost)
     dp = lm_pos - window.lm_prior
     pw = jnp.where(window.lm_valid, window.lm_prior_w, 0.0)
@@ -135,7 +160,8 @@ def lm_step(
     lcap = window.landmark_capacity
     dtype = poses.dtype
 
-    r, jp, jl, mask = _masked_system(poses, lm_pos, window, cam, cfg.min_depth)
+    r, jp, jl, mask = _masked_system(poses, lm_pos, window, cam, cfg.min_depth,
+                                     cfg.huber_delta_px)
 
     # Per-pose blocks: U [W,6,6], g_p [W,6]
     u_blocks = jnp.einsum("wfri,wfrj->wij", jp, jp)
@@ -293,7 +319,8 @@ def window_to_landmark_major(window: WindowState) -> LandmarkMajorProblem:
     )
 
 
-def _lm_major_cost(poses, lm_pos, prob: LandmarkMajorProblem, cam, min_depth, axis):
+def _lm_major_cost(poses, lm_pos, prob: LandmarkMajorProblem, cam, min_depth, axis,
+                   huber_delta=0.0):
     """Cost on landmark-major arrays; psum over ``axis`` if inside shard_map."""
     from stereo_vo_tpu.core.geometry import pose_q, pose_t, rot_apply
 
@@ -309,7 +336,7 @@ def _lm_major_cost(poses, lm_pos, prob: LandmarkMajorProblem, cam, min_depth, ax
         & (z > min_depth)
     )
     r = jnp.where(mask[..., None], r, 0.0)
-    cost = 0.5 * jnp.sum(r * r)
+    cost = jnp.sum(_huber_rho(r, huber_delta))
     # stereo prior term (anchors the monocular BA's free scale mode)
     dp = lm_pos - prob.lm_prior
     pw = jnp.where(prob.lm_valid, prob.lm_prior_w, 0.0)
@@ -342,11 +369,13 @@ def _reduced_camera_system(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam,
         & (z > cfg.min_depth)
     )
     r = jnp.where(mask[..., None], r, 0.0)
+    sw = jnp.sqrt(_huber_weight(r, getattr(cfg, "huber_delta_px", 0.0)))[..., None]
+    r = r * sw
     lift = quat_lift_jacobian(poses[:, 0:4])            # [W, 4, 3]
     jq = jnp.einsum("lwij,wjk->lwik", jp7[..., 0:4], lift)
     jp6 = jnp.concatenate([jq, jp7[..., 4:7]], axis=-1)
-    jp6 = jnp.where(mask[..., None, None], jp6, 0.0)
-    jl = jnp.where(mask[..., None, None], jl, 0.0)
+    jp6 = jnp.where(mask[..., None, None], jp6 * sw[..., None], 0.0)
+    jl = jnp.where(mask[..., None, None], jl * sw[..., None], 0.0)
 
     # landmark-local blocks (no scatter needed in this layout)
     v = jnp.einsum("lwri,lwrj->lij", jl, jl)            # [L, 3, 3]
@@ -451,12 +480,13 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
     Returns ``(poses, lm_pos, initial_cost, final_cost, accepted, last_rel)``.
     """
     poses0, lm0 = prob.poses, prob.lm_pos
-    cost0 = _lm_major_cost(poses0, lm0, prob, cam, cfg.min_depth, axis)
+    hd = getattr(cfg, "huber_delta_px", 0.0)
+    cost0 = _lm_major_cost(poses0, lm0, prob, cam, cfg.min_depth, axis, hd)
 
     def body(carry):
         poses, lm_pos, lam, cost, accepted, it, rel, done = carry
         cand_p, cand_l = lm_major_step(poses, lm_pos, lam, prob, cam, cfg, axis)
-        cand_cost = _lm_major_cost(cand_p, cand_l, prob, cam, cfg.min_depth, axis)
+        cand_cost = _lm_major_cost(cand_p, cand_l, prob, cam, cfg.min_depth, axis, hd)
         # `upd` freezes the carry once done: under vmap (batched solves) the
         # loop keeps executing until EVERY batch element is done, and already-
         # converged elements must not keep taking steps (batched results must

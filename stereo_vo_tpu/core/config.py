@@ -92,6 +92,12 @@ class BackendConfig:
     # reference's monocular-factor BA leaves free (deliberate accuracy fix;
     # set sigma <= 0 to disable and match reference behavior exactly).
     stereo_prior_sigma_px: float = 1.0
+    # Huber robust loss on reprojection residuals (pixels). Block-matching
+    # disparity has a heavy garbage tail (ambiguous matches yield landmarks at
+    # wildly wrong depth); a quadratic loss lets a handful of them steer the
+    # solve. The reference uses plain squared loss (no loss function passed at
+    # bundle_adjuster.cpp:93-122) — set 0 to match it exactly.
+    huber_delta_px: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

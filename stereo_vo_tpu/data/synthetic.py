@@ -87,6 +87,15 @@ class SyntheticStereoSequence:
     speed: float = 0.4                       # meters / frame along +z
     yaw_rate: float = 0.002                  # radians / frame
     patch_radius: int = 8
+    # World-space patch radius (meters). Patches are rendered as camera-facing
+    # billboards whose PIXEL size scales with focal/depth, so a corner anywhere
+    # on a patch moves exactly like the rigid 3D point it triangulates to.
+    # (The earlier constant-pixel-size splat made patch-edge corners
+    # geometrically inconsistent: their image offset from the patch center did
+    # not scale with 1/z, which systematically biased PnP and actively poisoned
+    # multi-view BA — on this world BA *hurt* accuracy until this fix.)
+    # 0 = legacy constant-pixel-size behavior.
+    patch_world_radius: float = 0.15
     bg_margin: float = 30.0                  # background plane this far past the end
     point_depth: Tuple[float, float] = (6.0, 30.0)
     rate_hz: float = 11.0
@@ -162,7 +171,14 @@ class SyntheticStereoSequence:
             self._tex = t - float(t.mean())
         else:
             self._tex = _smooth_noise(rng, 512, 512, amp=26.0)
-        self._tex_scale = 512 / (2 * half_w * 1.6 * self._bg_z)
+        # Fraction of the texture per world unit, chosen so ONE texture period
+        # spans the visible background width (with margin). Multiplied by the
+        # texel count at lookup time (render()); folding the texel count in
+        # here as well (the old `512 /` form) scaled frequencies 512x, putting
+        # ~100 texels between adjacent image pixels — pure aliasing noise that
+        # StereoBM matched at garbage disparities, poisoning triangulated
+        # depth for every background feature in both our pipeline and the twin.
+        self._tex_scale = 1.0 / (2 * half_w * 1.6 * self._bg_z)
 
         # cached pixel grid
         self._grid_u = np.arange(w, dtype=np.float32)[None, :] - cx
@@ -205,10 +221,14 @@ class SyntheticStereoSequence:
             + tex[i1, j1] * fv * fu
         )
 
-    def _splat(self, img, u, v, patch):
-        """Add landmark patch (bilinearly resampled) centered at sub-pixel (u, v)."""
+    def _splat(self, img, u, v, patch, scale=1.0):
+        """Add landmark patch (bilinearly resampled) centered at sub-pixel (u, v).
+
+        ``scale`` is the pixel size of one canonical patch texel: the rendered
+        footprint radius is ``patch_radius * scale``, so billboards shrink with
+        distance (scale = focal * patch_world_radius / (z * patch_radius))."""
         h, w = img.shape
-        r = self.patch_radius
+        r = max(int(np.ceil(self.patch_radius * scale)), 1)
         iu, iv = int(np.floor(u)), int(np.floor(v))
         if iu < -r or iv < -r or iu >= w + r or iv >= h + r:
             return
@@ -218,8 +238,8 @@ class SyntheticStereoSequence:
             return
         # continuous patch coordinates of each target pixel
         c = (patch.shape[0] - 1) / 2
-        py = np.arange(y0, y1, dtype=np.float32)[:, None] - v + c
-        px = np.arange(x0, x1, dtype=np.float32)[None, :] - u + c
+        py = (np.arange(y0, y1, dtype=np.float32)[:, None] - v) / scale + c
+        px = (np.arange(x0, x1, dtype=np.float32)[None, :] - u) / scale + c
         py0 = np.clip(np.floor(py).astype(int), 0, patch.shape[0] - 2)
         px0 = np.clip(np.floor(px).astype(int), 0, patch.shape[1] - 2)
         fy = py - py0
@@ -230,7 +250,12 @@ class SyntheticStereoSequence:
             + patch[py0 + 1, px0] * fy * (1 - fx)
             + patch[py0 + 1, px0 + 1] * fy * fx
         )
-        img[y0:y1, x0:x1] += val
+        # zero outside the patch footprint (the scaled target rectangle can
+        # overhang it; the clamped bilinear indices would extrapolate there)
+        inside = ((py >= 0) & (py <= patch.shape[0] - 1)) * (
+            (px >= 0) & (px <= patch.shape[1] - 1)
+        )
+        img[y0:y1, x0:x1] += val * inside
 
     def render(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """Render frame i -> (left, right) uint8 images."""
@@ -250,10 +275,18 @@ class SyntheticStereoSequence:
         u = f * p_cam[:, 0] / z + self.cam.cx
         v = f * p_cam[:, 1] / z + self.cam.cy
         disp = f * b / z
-        for k in np.nonzero(vis)[0]:
+        if self.patch_world_radius > 0:
+            # billboard pixel size ∝ 1/z; sub-pixel patches are invisible
+            scale = f * self.patch_world_radius / (z * self.patch_radius)
+            drawable = vis & (scale * self.patch_radius >= 1.2)
+            scale = np.minimum(scale, 8.0)  # bound near-field splat cost
+        else:
+            scale = np.ones_like(z)
+            drawable = vis
+        for k in np.nonzero(drawable)[0]:
             if -20 <= u[k] < w + 20 and -20 <= v[k] < h + 20:
-                self._splat(left, u[k], v[k], self._patches[k])
-                self._splat(right, u[k] - disp[k], v[k], self._patches[k])
+                self._splat(left, u[k], v[k], self._patches[k], scale[k])
+                self._splat(right, u[k] - disp[k], v[k], self._patches[k], scale[k])
 
         return (
             np.clip(left, 0, 255).astype(np.uint8),
@@ -271,6 +304,9 @@ class SyntheticStereoSequence:
         v = f * p_cam[:, 1] / np.maximum(z, 1e-6) + self.cam.cy
         h, w = self.shape
         vis = (z > 2.0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        if self.patch_world_radius > 0:
+            # match render(): billboards smaller than ~a pixel are not drawn
+            vis &= f * self.patch_world_radius / np.maximum(z, 1e-6) >= 1.2
         return u, v, f * self.cam.baseline / np.maximum(z, 1e-6), vis
 
     def __len__(self) -> int:

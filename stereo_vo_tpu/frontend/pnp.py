@@ -283,22 +283,31 @@ def pnp_ransac(
     best_inl = inl[best]
     n_inl = jnp.maximum(counts[best], 0)
 
-    refined = _gn_refine(best_pose, p3, uv, best_inl, cam, cfg.pnp_refine_iters)
-    # guard: keep refinement only if it didn't diverge
-    err_ref = _reproj_errors(refined, p3, uv, cam)
-    improved = jnp.sum(jnp.where(best_inl, jnp.minimum(err_ref, 1e9), 0.0)) <= jnp.sum(
-        jnp.where(best_inl, jnp.minimum(errs[best], 1e9), 0.0)
-    )
-    final_pose = jnp.where(improved & jnp.all(jnp.isfinite(refined)), refined, best_pose)
+    # locally-optimized refinement (LO-RANSAC): refine on the current inlier
+    # set, recount, repeat. One refine pass is NOT enough — the winning
+    # hypothesis (often the warm start) can sit far from its consensus set's
+    # optimum, so its inlier selection is biased; refining converges to the
+    # optimum of that biased set, and the recount then admits observations the
+    # refined model explains. Iterating to a fixed point matches what
+    # cv::solvePnPRansac's converged final LM solve delivers
+    # (image_processor.cpp:76-80). Divergence guard: a round is kept only if
+    # it does not lose inliers.
+    def lo_round(carry, _):
+        pose, inl_set = carry
+        cand = _gn_refine(pose, p3, uv, inl_set, cam, cfg.pnp_refine_iters)
+        cand = jnp.where(jnp.all(jnp.isfinite(cand)), cand, pose)
+        err_c = _reproj_errors(cand, p3, uv, cam)
+        inl_c = (err_c < cfg.pnp_reproj_thresh) & valid
+        keep = jnp.sum(inl_c) >= jnp.sum(inl_set)
+        return (
+            jnp.where(keep, cand, pose),
+            jnp.where(keep, inl_c, inl_set),
+        ), None
 
-    # recount on the final model (a refined pose recovers observations the raw
-    # RANSAC model missed; they become this keyframe's BA observations)
-    final_err = _reproj_errors(final_pose, p3, uv, cam)
-    final_inl = (final_err < cfg.pnp_reproj_thresh) & valid
-    final_n = jnp.sum(final_inl)
-    use_final = final_n >= n_inl
-    out_inl = jnp.where(use_final, final_inl, best_inl)
-    out_n = jnp.where(use_final, final_n, n_inl)
+    (final_pose, out_inl), _ = jax.lax.scan(
+        lo_round, (best_pose, best_inl), None, length=3
+    )
+    out_n = jnp.sum(out_inl)
 
     ok = out_n >= jnp.asarray(max(cfg.pnp_sample_size, 4), out_n.dtype)
     return PnPResult(pose=final_pose, inliers=out_inl, num_inliers=out_n, ok=ok)
