@@ -130,6 +130,25 @@ def ate_pair(poses, gt, mask=None, align=False):
     return round(absolute_trajectory_error(poses, gt, align=align)["rmse"], 3)
 
 
+def measure_device_rtt(n=20):
+    """Median dispatch+fetch round-trip of a trivial jit program — the
+    per-call overhead floor of the attached device (the lab TPU hangs off a
+    network relay adding ~30 ms/call that an on-board deployment would not
+    pay; reporting it separately keeps stream latency honest)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x))  # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return round(float(np.median(ts)), 1)
+
+
 def measure_stream_latency(cfg, frames, n=32):
     """Per-frame wall latency of the online (chunk_size=0) path: the number a
     20 Hz robot cares about (vo_node.cpp:139). Returns (p50_ms, p99_ms)."""
@@ -264,9 +283,10 @@ def main():
 
     try:
         p50, p99 = measure_stream_latency(cfg, frames)
+        rtt = measure_device_rtt()
     except Exception as e:
         print(f"[bench] stream latency measurement failed: {e}", file=sys.stderr)
-        p50 = p99 = None
+        p50 = p99 = rtt = None
 
     try:
         ba_iters = measure_ba_iters()
@@ -286,6 +306,10 @@ def main():
             **acc,
             "stream_ms_p50": p50,
             "stream_ms_p99": p99,
+            # per-call overhead floor of the attached device (network-relay
+            # TPUs add ~2 RTTs of pure transport per streamed frame; subtract
+            # to estimate on-board latency)
+            "device_rtt_ms": rtt,
             "ba_lm_iters_per_sec": ba_iters,
             "image": "376x1241 synthetic (kitti00 intrinsics)",
         },
