@@ -67,25 +67,30 @@ def _extract_regions(stack_padded: jnp.ndarray, origins: jnp.ndarray,
     return extract_regions(stack_padded, origins, ry, rx)
 
 
-# Extra extraction margin (one sublane granule each side) so Scharr gradients
-# computed *on the extracted region* are interior-exact everywhere the sampler
-# can touch. Extracting the image channel alone and differentiating in-region
-# cuts the extraction DMA traffic 3x vs extracting [img, gx, gy] stacks —
-# region extraction is LK's dominant HBM cost.
-GRAD_MARGIN = 8
+def _sample_template(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
+    """Sample the template window AND its Scharr gradients from a 1-channel
+    region stack ``[N, 1, RY, RX]`` at window top-left ``pos`` (region coords).
 
+    Key identity: all template samples lie on one uniformly-shifted integer
+    lattice, and bilinear interpolation is linear and shift-invariant there,
+    so discrete convolution commutes with the sampling — Scharr of the sampled
+    (win+2)^2 patch equals bilinear sampling of the full-image Scharr. This
+    replaces per-level 3-channel gradient-region extraction (+ full-region
+    Scharr + channel stacking, together the largest HBM cost in LK) with one
+    1-channel sample and a tiny per-patch filter.
 
-def _extract_grad_regions(img_padded: jnp.ndarray, origins: jnp.ndarray, r: int):
-    """``img_padded [Hp, Wp]`` (padded by ``m + GRAD_MARGIN``), logical origins
-    ``[N, 2]`` (8-aligned, >= GRAD_MARGIN, <= dim - r - GRAD_MARGIN) ->
-    ``[N, 3, r, r]`` of (image, scharr_x, scharr_y), each channel equal to the
-    full-image filter restricted to the region."""
-    re = r + 2 * GRAD_MARGIN
-    reg = _extract_regions(img_padded[None], origins - GRAD_MARGIN, re, re)[:, 0]
-    gx = scharr_x(reg)
-    gy = scharr_y(reg)
-    stack = jnp.stack([reg, gx, gy], axis=1)
-    return stack[:, :, GRAD_MARGIN:GRAD_MARGIN + r, GRAD_MARGIN:GRAD_MARGIN + r]
+    Returns ``(t_patch, gx, gy)`` each ``[N, win, win]``.
+
+    ``pos - 1`` is in-bounds by construction (callers pad with
+    ``m = half + slack + 2`` and size regions at ``win + 2 + 2*slack + 9``
+    rounded up to 8); an out-of-range index would select zero weight rows,
+    zeroing the patch and failing the feature via the min-eig gate rather
+    than silently sampling at a shifted offset."""
+    wt = win + 2
+    patch = _sample(regions, pos - 1.0, wt)[:, 0]  # [N, win+2, win+2]
+    gx = scharr_x(patch)[..., 1:-1, 1:-1]
+    gy = scharr_y(patch)[..., 1:-1, 1:-1]
+    return patch[..., 1:-1, 1:-1], gx, gy
 
 
 def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
@@ -125,13 +130,11 @@ def _center_regions(prev_reg: jnp.ndarray, next_reg: jnp.ndarray):
     end-to-end trajectory ATE. Shifting both regions by the same per-feature
     constant leaves di = J - T and the Scharr gradients mathematically
     unchanged but shrinks operand magnitude from ~128 (DC) to the local
-    contrast (~±30), cutting bf16 rounding ~4x. This recovers full-f32
-    trajectory accuracy at DEFAULT matmul precision (full f32 sampling costs
-    27-42% of pipeline throughput)."""
+    contrast (~±30), cutting bf16 rounding ~4x. Together with Precision.HIGH
+    sampling this recovers full-f32 trajectory accuracy (full f32 sampling
+    costs 27-42% of pipeline throughput). Regions are 1-channel [N, 1, R, R]."""
     c = jnp.mean(prev_reg[:, 0], axis=(-2, -1))[:, None, None, None]
-    prev_reg = jnp.concatenate([prev_reg[:, :1] - c, prev_reg[:, 1:]], axis=1)
-    next_reg = jnp.concatenate([next_reg[:, :1] - c, next_reg[:, 1:]], axis=1)
-    return prev_reg, next_reg
+    return prev_reg - c, next_reg - c
 
 
 def _lk_level(
@@ -142,39 +145,37 @@ def _lk_level(
     """One pyramid level of LK for all features (region + MXU sampling)."""
     h, w = img_shape
     win = 2 * half + 1
-    # square region, 8-aligned size: window + slack each side + bilinear margin
-    # + up to 7 px alignment residual per axis (origins align down to 8 so the
-    # Pallas DMA extraction path can slice HBM)
-    rx = ry = ((win + 2 * slack + 9) + 7) // 8 * 8
-    m = half + slack + 1 + GRAD_MARGIN   # image pad (incl. gradient margin)
+    # square region, 8-aligned size: (window + gradient ring) + slack each side
+    # + bilinear margin + up to 7 px alignment residual per axis (origins align
+    # down to 8 so the Pallas DMA extraction path can slice HBM)
+    rx = ry = ((win + 2 + 2 * slack + 9) + 7) // 8 * 8
+    m = half + slack + 2                 # image pad (incl. gradient ring)
     win_area = float(win * win)
 
-    prev_p = _pad_edge(prev_img, m)
+    prev_p = _pad_edge(prev_img[None], m)
     next_p = _pad_edge(next_img[None], m)
     hp, wp = prev_p.shape[-2:]
 
     # Region origin (padded coords): centered on the *template* point for prev,
     # on the initial guess for next. Row origins align down to a multiple of 8
-    # (sublane tiling) so the Pallas DMA path can slice HBM directly; clipping
-    # keeps GRAD_MARGIN of extractable image around every region.
+    # (sublane tiling) so the Pallas DMA path can slice HBM directly.
     def origins(centers):
         ox = jnp.floor(centers[:, 0]).astype(jnp.int32) - half - slack + m
-        ox = jnp.clip((ox // 8) * 8, GRAD_MARGIN, wp - rx - GRAD_MARGIN)
+        ox = jnp.clip((ox // 8) * 8, 0, wp - rx)
         oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - slack + m
-        oy = jnp.clip((oy // 8) * 8, GRAD_MARGIN, hp - ry - GRAD_MARGIN)
+        oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
         return jnp.stack([ox, oy], axis=1)
 
     prev_org = origins(pts_prev)
     next_org = origins(guess)
-    prev_reg = _extract_grad_regions(prev_p, prev_org, rx)   # [N, 3, RY, RX]
+    prev_reg = _extract_regions(prev_p, prev_org, ry, rx)    # [N, 1, RY, RX]
     next_reg = _extract_regions(next_p, next_org, ry, rx)    # [N, 1, RY, RX]
     prev_reg, next_reg = _center_regions(prev_reg, next_reg)
 
     # Continuous region coordinates of a window top-left for image point p:
     # (p - half) + m - origin.
     tpl_pos = pts_prev - half + m - prev_org.astype(pts_prev.dtype)
-    tpl = _sample(prev_reg, tpl_pos, win)                    # [N, 3, w, w]
-    t_patch, gx_p, gy_p = tpl[:, 0], tpl[:, 1], tpl[:, 2]
+    t_patch, gx_p, gy_p = _sample_template(prev_reg, tpl_pos, win)
 
     g11 = jnp.sum(gx_p * gx_p, axis=(1, 2))
     g12 = jnp.sum(gx_p * gy_p, axis=(1, 2))
@@ -297,16 +298,16 @@ def lk_track_pyramid(
 # ---------------------------------------------------------------------------
 
 
-def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
+def _gn_iterate(tpl, regions_j, guess, active, half,
                 max_iters, eps, min_eig_threshold, region_org_j, m):
-    """Shared Gauss-Newton loop: template from regions_t at tpl_pos (region
-    coords), iterate guess over regions_j (image coords)."""
+    """Shared Gauss-Newton loop: precomputed template triple ``tpl``
+    (patch, gx, gy), iterate guess over 1-channel ``regions_j`` (image
+    coords)."""
     win = 2 * half + 1
     ry, rx = regions_j.shape[-2], regions_j.shape[-1]
     win_area = float(win * win)
 
-    tpl = _sample(regions_t, tpl_pos, win)
-    t_patch, gx_p, gy_p = tpl[:, 0], tpl[:, 1], tpl[:, 2]
+    t_patch, gx_p, gy_p = tpl
 
     g11 = jnp.sum(gx_p * gx_p, axis=(1, 2))
     g12 = jnp.sum(gx_p * gy_p, axis=(1, 2))
@@ -336,7 +337,7 @@ def _gn_iterate(regions_t, regions_j, tpl_pos, guess, active, half, slack,
         guess, converged, prev_step, it = state
         pos = jnp.clip(guess - half + m - org, 0.0, None)
         pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
-        j_patch = _sample(regions_j[:, :1], pos, win)[:, 0]
+        j_patch = _sample(regions_j, pos, win)[:, 0]
         di = j_patch - t_patch
         bx = jnp.sum(di * gx_p, axis=(1, 2))
         by = jnp.sum(di * gy_p, axis=(1, 2))
@@ -391,35 +392,37 @@ def lk_track_fwdbwd(
     cache = []
     for lvl in range(n_levels - 1, -1, -1):
         lvl_slack = slack_top if lvl == n_levels - 1 else slack
-        m = half + lvl_slack + 1 + GRAD_MARGIN
-        rx = ry = ((win + 2 * lvl_slack + 9) + 7) // 8 * 8
+        m = half + lvl_slack + 2
+        rx = ry = ((win + 2 + 2 * lvl_slack + 9) + 7) // 8 * 8
         prev_img = prev_pyr[lvl]
         next_img = next_pyr[lvl]
         h, w = prev_img.shape
-        prev_p = _pad_edge(prev_img, m)
-        next_p = _pad_edge(next_img, m)
+        prev_p = _pad_edge(prev_img[None], m)
+        next_p = _pad_edge(next_img[None], m)
         hp, wp = prev_p.shape[-2:]
 
         def origins(centers):
             ox = jnp.floor(centers[:, 0]).astype(jnp.int32) - half - lvl_slack + m
-            ox = jnp.clip((ox // 8) * 8, GRAD_MARGIN, wp - rx - GRAD_MARGIN)
+            ox = jnp.clip((ox // 8) * 8, 0, wp - rx)
             oy = jnp.floor(centers[:, 1]).astype(jnp.int32) - half - lvl_slack + m
-            oy = jnp.clip((oy // 8) * 8, GRAD_MARGIN, hp - ry - GRAD_MARGIN)
+            oy = jnp.clip((oy // 8) * 8, 0, hp - ry)
             return jnp.stack([ox, oy], axis=1)
 
         pts_l = pts / float(2 ** lvl)
         prev_org = origins(pts_l)
         next_org = origins(guess)
-        # both channels' gradients are needed: prev grads by the forward
-        # templates, next grads by the backward templates (roles swap)
-        prev_reg = _extract_grad_regions(prev_p, prev_org, rx)
-        next_reg = _extract_grad_regions(next_p, next_org, rx)
+        # 1-channel regions: forward templates differentiate the sampled prev
+        # patch, backward templates the sampled next patch (roles swap) — see
+        # _sample_template for why in-patch Scharr is exact
+        prev_reg = _extract_regions(prev_p, prev_org, ry, rx)
+        next_reg = _extract_regions(next_p, next_org, ry, rx)
         prev_reg, next_reg = _center_regions(prev_reg, next_reg)
         cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m))
 
         tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)
+        tpl = _sample_template(prev_reg, tpl_pos, win)
         guess, solvable, in_region = _gn_iterate(
-            prev_reg, next_reg, tpl_pos, guess, ok, half, lvl_slack,
+            tpl, next_reg, guess, ok, half,
             max_iters, eps, min_eig_threshold, next_org, m,
         )
         if lvl == 0:
@@ -436,17 +439,14 @@ def lk_track_fwdbwd(
     bguess = tracked / scale_top
     bok = fwd_ok
     for (lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m) in cache:
-        rx = next_reg.shape[-1]
-        ry = next_reg.shape[-2]
         tracked_l = tracked / float(2 ** lvl)
         # backward template: next image at the forward endpoint (inside the
-        # next region as long as the per-level motion stayed within slack)
-        tpl_pos = jnp.clip(tracked_l - half + m - next_org.astype(pts.dtype), 0.0, None)
-        tpl_pos = jnp.minimum(
-            tpl_pos, jnp.array([rx - win - 1, ry - win - 1], tpl_pos.dtype)
-        )
+        # next region as long as the per-level motion stayed within slack;
+        # an endpoint that ran out samples a zeroed patch and fails min-eig)
+        tpl_pos = tracked_l - half + m - next_org.astype(pts.dtype)
+        btpl = _sample_template(next_reg, tpl_pos, win)
         bguess, bsolv, b_in_region = _gn_iterate(
-            next_reg, prev_reg, tpl_pos, bguess, bok, half, 0,
+            btpl, prev_reg, bguess, bok, half,
             max_iters, eps, min_eig_threshold, prev_org, m,
         )
         if lvl == 0:

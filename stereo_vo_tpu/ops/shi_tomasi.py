@@ -142,8 +142,33 @@ def detect_corners(
     # at this radius the removed candidates are ones the sweep would suppress.
     thin_r = max(radius // 4, 1)
     is_peak = window_peaks(resp, is_peak, thin_r)
-    flat = jnp.where(is_peak, resp, -1.0).reshape(-1)
-    cvals, cidx = jax.lax.top_k(flat, candidates)
+    masked = jnp.where(is_peak, resp, -1.0)
+
+    # Exact 64x sort reduction before top_k: thinning guarantees surviving
+    # peaks are > thin_r apart in Chebyshev distance, so with tile size
+    # t <= thin_r + 1 each non-overlapping t x t tile holds at most ONE peak —
+    # compacting to the per-tile max (value + flat index) loses nothing, and
+    # the top_k sort (a TPU custom call that was the single hottest op in the
+    # frame at H*W elements) runs over H*W/t^2 instead.
+    t = thin_r + 1
+    hp_, wp_ = -h % t, -w % t
+    padded = jnp.pad(masked, ((0, hp_), (0, wp_)), constant_values=-1.0)
+    pidx = jnp.pad(
+        flat_idx, ((0, hp_), (0, wp_)), constant_values=0.0
+    )
+    th_, tw_ = padded.shape[0] // t, padded.shape[1] // t
+    tiles = padded.reshape(th_, t, tw_, t).transpose(0, 2, 1, 3).reshape(th_, tw_, t * t)
+    tidx = pidx.reshape(th_, t, tw_, t).transpose(0, 2, 1, 3).reshape(th_, tw_, t * t)
+    arg = jnp.argmax(tiles, axis=-1)
+    tile_val = jnp.take_along_axis(tiles, arg[..., None], axis=-1)[..., 0]
+    tile_idx = jnp.take_along_axis(tidx, arg[..., None], axis=-1)[..., 0]
+
+    cvals, csel = jax.lax.top_k(tile_val.reshape(-1), min(candidates, th_ * tw_))
+    cidx = tile_idx.reshape(-1)[csel].astype(jnp.int32)
+    if candidates > th_ * tw_:  # keep the static [candidates] shape
+        pad_n = candidates - th_ * tw_
+        cvals = jnp.concatenate([cvals, jnp.full((pad_n,), -1.0, cvals.dtype)])
+        cidx = jnp.concatenate([cidx, jnp.zeros((pad_n,), cidx.dtype)])
     cxy = jnp.stack(
         [(cidx % w).astype(jnp.float32), (cidx // w).astype(jnp.float32)], axis=-1
     )
