@@ -102,6 +102,82 @@ def _polar_so3(m, iters: int = 8):
     return r, scale
 
 
+def _nullvec_qr(a):
+    """Right null vector of batched square ``a [..., n, n]`` — pure XLA ops.
+
+    ``jnp.linalg.svd`` lowers to a batched eigh custom call that was the
+    single hottest op in the frame (1.8 ms for [99,12,12] — TPU's batched
+    eigensolver serializes); and inverse iteration on A^T A squares the
+    condition number, which f32 cannot afford (measured trajectory harm).
+    This takes the classical middle path, all in batched static-shape ops:
+
+      1. Householder QR of A^T (backward stable, cond NOT squared),
+         so A = R^T Q^T and ``min ||A v|| = min ||R^T z||`` with ``v = Q z``;
+      2. two inverse-iteration steps on R R^T via triangular solves
+         (unrolled back/forward substitution) — the LAPACK way to pull the
+         smallest singular vector out of a factorization;
+      3. v = Q z applied as the stored Householder reflector chain.
+    """
+    n = a.shape[-1]
+    b = jnp.swapaxes(a, -1, -2)
+    dtype = a.dtype
+    vs = []
+    for k in range(n - 1):
+        x = b[..., k:, k]
+        alpha = jnp.sqrt(jnp.sum(x * x, axis=-1))
+        sign = jnp.where(x[..., 0] >= 0, 1.0, -1.0).astype(dtype)
+        v = x.at[..., 0].add(sign * alpha)
+        vn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        v = v / jnp.maximum(vn, jnp.asarray(1e-30, dtype))
+        sub = b[..., k:, k:]
+        w = jnp.einsum("...i,...ij->...j", v, sub)
+        b = b.at[..., k:, k:].set(sub - 2.0 * v[..., :, None] * w[..., None, :])
+        vs.append(v)
+    r = b  # upper triangular (below-diagonal residue is ~0 and never read)
+
+    # guard exactly-zero diagonals (rank-deficient noiseless data): tiny ridge
+    # RELATIVE to the matrix scale keeps the inverse iteration finite while
+    # still amplifying the near-null direction
+    scale = jnp.sqrt(jnp.sum(a * a, axis=(-2, -1), keepdims=False) / (n * n))
+    diag = jnp.stack([r[..., i, i] for i in range(n)], axis=-1)
+    eps = (1e-12 * scale)[..., None]
+    diag = jnp.where(jnp.abs(diag) > eps, diag,
+                     jnp.where(diag >= 0, 1.0, -1.0) * eps)
+
+    def back_sub(z):       # solve R y = z
+        y = [None] * n
+        for i in range(n - 1, -1, -1):
+            acc = z[..., i]
+            for j in range(i + 1, n):
+                acc = acc - r[..., i, j] * y[j]
+            y[i] = acc / diag[..., i]
+        return jnp.stack(y, axis=-1)
+
+    def fwd_sub(z):        # solve R^T y = z
+        y = [None] * n
+        for i in range(n):
+            acc = z[..., i]
+            for j in range(i):
+                acc = acc - r[..., j, i] * y[j]
+            y[i] = acc / diag[..., i]
+        return jnp.stack(y, axis=-1)
+
+    z = jnp.zeros(a.shape[:-2] + (n,), dtype).at[..., n - 1].set(1.0)
+    for _ in range(2):
+        z = fwd_sub(back_sub(z))
+        z = z / jnp.maximum(
+            jnp.sqrt(jnp.sum(z * z, axis=-1, keepdims=True)),
+            jnp.asarray(1e-30, dtype),
+        )
+    # v = Q z = H_0 (H_1 (... (H_{n-2} z)))
+    for k in range(n - 2, -1, -1):
+        v = vs[k]
+        zk = z[..., k:]
+        coef = jnp.sum(v * zk, axis=-1, keepdims=True)
+        z = z.at[..., k:].set(zk - 2.0 * v * coef)
+    return z
+
+
 def _smallest_nullvec_12(b):
     """Approximate null vector of a 12x12 PSD matrix via ridge inverse
     iteration with a block-Schur inverse (no eigendecomposition)."""
@@ -154,11 +230,15 @@ def _dlt_pose(p3: jnp.ndarray, xn: jnp.ndarray):
     rows_x = jnp.concatenate([ph, zeros, -xn[:, 0:1] * ph], axis=1)
     rows_y = jnp.concatenate([zeros, ph, -xn[:, 1:2] * ph], axis=1)
     a = jnp.concatenate([rows_x, rows_y], axis=0)  # [12, 12]
-    # null vector via direct SVD of A (forming A^T A squares the condition
-    # number, which f32 cannot afford; the closed-form inverse-iteration
-    # variant in _smallest_nullvec_12 measurably degrades trajectories)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    mn = vt[-1].reshape(3, 4)
+    import os
+    variant = os.environ.get("STEREO_VO_DLT", "qr")
+    if variant == "svd":
+        _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+        mn = vt[-1].reshape(3, 4)
+    elif variant == "ata":
+        mn = _smallest_nullvec_12(a.T @ a).reshape(3, 4)
+    else:
+        mn = _nullvec_qr(a).reshape(3, 4)
     # denormalize: P = M_n @ [[I/s, -c/s], [0, 1]]
     m = jnp.concatenate(
         [mn[:, :3] / s, (mn[:, 3] - mn[:, :3] @ c / s)[:, None]], axis=1
