@@ -47,6 +47,14 @@ from stereo_vo_tpu.ops.filters import scharr_x, scharr_y
 LK_SLACK = 10
 LK_SLACK_TOP = 26
 
+# Gauss-Newton iterations executed per while-loop step. The loop's compute is
+# tiny (one sampled patch + a 2x2 solve per feature) but each while iteration
+# pays fixed sequencing overhead on TPU; with ~8 level-passes per frame and
+# ~12 effective iterations each, that overhead was a large share of frame
+# wall time. Convergence masking is per sub-iteration, so results are
+# unchanged — converged features' extra sub-steps are masked no-ops.
+LK_UNROLL = 3
+
 
 def _pad_edge(img: jnp.ndarray, m: int) -> jnp.ndarray:
     pad = [(0, 0)] * (img.ndim - 2) + [(m, m), (m, m)]
@@ -219,12 +227,19 @@ def _lk_level(
         # per-feature break, one oscillator drags the whole batch to max_iters.
         osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
         step = jnp.where(osc[:, None], 0.5 * step, step)
-        upd = solvable & ~converged
+        # `it < max_iters` keeps the exact iteration cap under unrolling
+        # (sub-iterations past the cap become masked no-ops)
+        upd = solvable & ~converged & (it < max_iters)
         new_guess = jnp.where(upd[:, None], guess + step, guess)
         small = jnp.sum(step * step, axis=-1) < eps * eps
         out_of_region = ~in_region(new_guess)
         return (new_guess, converged | small | osc | out_of_region | ~solvable,
                 jnp.where(upd[:, None], step, prev_step), it + 1)
+
+    def body_unrolled(state):
+        for _ in range(LK_UNROLL):
+            state = body(state)
+        return state
 
     def cond(state):
         _, converged, _, it = state
@@ -232,7 +247,7 @@ def _lk_level(
 
     converged0 = ~solvable
     guess, _, _, _ = jax.lax.while_loop(
-        cond, body, (guess, converged0, jnp.zeros_like(guess), 0)
+        cond, body_unrolled, (guess, converged0, jnp.zeros_like(guess), 0)
     )
 
     # OpenCV only kills a feature when its point leaves the image; our region
@@ -347,18 +362,24 @@ def _gn_iterate(tpl, regions_j, guess, active, half,
         # OpenCV's oscillation break (see _lk_level.body)
         osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
         step = jnp.where(osc[:, None], 0.5 * step, step)
-        upd = solvable & ~converged
+        # `it < max_iters` keeps the exact iteration cap under unrolling
+        upd = solvable & ~converged & (it < max_iters)
         new_guess = jnp.where(upd[:, None], guess + step, guess)
         small = jnp.sum(step * step, axis=-1) < eps * eps
         return (new_guess, converged | small | osc | ~in_region(new_guess) | ~solvable,
                 jnp.where(upd[:, None], step, prev_step), it + 1)
+
+    def body_unrolled(state):
+        for _ in range(LK_UNROLL):
+            state = body(state)
+        return state
 
     def cond(state):
         _, converged, _, it = state
         return (it < max_iters) & ~jnp.all(converged)
 
     guess, _, _, _ = jax.lax.while_loop(
-        cond, body, (guess, ~solvable, jnp.zeros_like(guess), 0)
+        cond, body_unrolled, (guess, ~solvable, jnp.zeros_like(guess), 0)
     )
     return guess, solvable, in_region
 
