@@ -313,12 +313,76 @@ def lk_track_pyramid(
 # ---------------------------------------------------------------------------
 
 
+# Straggler compaction: after this many iterations the (few) features that
+# haven't converged — typically patches whose appearance scales between
+# frames, which pure-translation LK circles around — continue in a compacted
+# batch of this many slots. The GN iteration is HBM-bandwidth-bound on
+# re-reading the region set every iteration, so shrinking the live batch 4x
+# makes the long convergence tail ~4x cheaper without changing any feature's
+# iteration sequence. Must be a multiple of LK_UNROLL.
+LK_COMPACT_AFTER = 6
+LK_COMPACT_K = 128
+
+
+def _gn_loop(regions_j, tpl3, invs, solvable, org_f, guess, prev_step,
+             converged, it0, half, m, max_iters, eps):
+    """Masked whole-batch GN iteration from ``it0`` until ``max_iters`` or all
+    converged. Shapes follow the inputs, so it runs full-size or compacted."""
+    win = 2 * half + 1
+    ry, rx = regions_j.shape[-2], regions_j.shape[-1]
+    t_patch, gx_p, gy_p = tpl3
+    inv11, inv12, inv22 = invs
+
+    def in_region(g):
+        pos = g - half + m - org_f
+        return (
+            (pos[:, 0] >= 0) & (pos[:, 0] <= rx - win - 1)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
+        )
+
+    def body(state):
+        guess, converged, prev_step, it = state
+        pos = jnp.clip(guess - half + m - org_f, 0.0, None)
+        pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
+        j_patch = _sample(regions_j, pos, win)[:, 0]
+        di = j_patch - t_patch
+        bx = jnp.sum(di * gx_p, axis=(1, 2))
+        by = jnp.sum(di * gy_p, axis=(1, 2))
+        step = jnp.stack(
+            [-(inv11 * bx + inv12 * by), -(inv12 * bx + inv22 * by)], axis=-1
+        )
+        # OpenCV's oscillation break (see _lk_level.body)
+        osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
+        step = jnp.where(osc[:, None], 0.5 * step, step)
+        # `it < max_iters` keeps the exact iteration cap under unrolling
+        upd = solvable & ~converged & (it < max_iters)
+        new_guess = jnp.where(upd[:, None], guess + step, guess)
+        small = jnp.sum(step * step, axis=-1) < eps * eps
+        return (new_guess, converged | small | osc | ~in_region(new_guess) | ~solvable,
+                jnp.where(upd[:, None], step, prev_step), it + 1)
+
+    def body_unrolled(state):
+        for _ in range(LK_UNROLL):
+            state = body(state)
+        return state
+
+    def cond(state):
+        _, converged, _, it = state
+        return (it < max_iters) & ~jnp.all(converged)
+
+    return jax.lax.while_loop(
+        cond, body_unrolled, (guess, converged, prev_step, it0)
+    )
+
+
 def _gn_iterate(tpl, regions_j, guess, active, half,
                 max_iters, eps, min_eig_threshold, region_org_j, m):
     """Shared Gauss-Newton loop: precomputed template triple ``tpl``
     (patch, gx, gy), iterate guess over 1-channel ``regions_j`` (image
-    coords)."""
+    coords). Runs a full-batch phase, then continues the non-converged
+    stragglers in a compacted batch (see LK_COMPACT_AFTER)."""
     win = 2 * half + 1
+    n = guess.shape[0]
     ry, rx = regions_j.shape[-2], regions_j.shape[-1]
     win_area = float(win * win)
 
@@ -348,38 +412,67 @@ def _gn_iterate(tpl, regions_j, guess, active, half,
             & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
         )
 
-    def body(state):
-        guess, converged, prev_step, it = state
-        pos = jnp.clip(guess - half + m - org, 0.0, None)
-        pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
-        j_patch = _sample(regions_j, pos, win)[:, 0]
-        di = j_patch - t_patch
-        bx = jnp.sum(di * gx_p, axis=(1, 2))
-        by = jnp.sum(di * gy_p, axis=(1, 2))
-        step = jnp.stack(
-            [-(inv11 * bx + inv12 * by), -(inv12 * bx + inv22 * by)], axis=-1
+    k = LK_COMPACT_K
+    phase1_end = LK_COMPACT_AFTER if (max_iters > LK_COMPACT_AFTER and n > k) \
+        else max_iters
+    guess, converged, prev_step, it = _gn_loop(
+        regions_j, tpl, (inv11, inv12, inv22), solvable, org,
+        guess, jnp.zeros_like(guess), ~solvable, 0, half, m, phase1_end, eps,
+    )
+    if phase1_end >= max_iters:
+        return guess, solvable, in_region
+
+    pending = ~converged
+
+    def compact_continue(args):
+        guess, converged, prev_step = args
+        # stable rank: pending features first; one-hot-matmul gather for the
+        # big region array (row gathers serialize on TPU, a [K, N] matmul is
+        # one dense pass)
+        idx = jnp.argsort(jnp.logical_not(pending), stable=True)[:k]
+        onehot = (idx[:, None] == jnp.arange(n)[None, :]).astype(regions_j.dtype)
+        # Precision.HIGH keeps the gathered values f32-exact: the one-hot side
+        # is bf16-exact, so the hi/lo passes reconstruct the region operand
+        reg_c = jnp.einsum(
+            "kn,nij->kij", onehot, regions_j[:, 0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )[:, None]
+        tpl_flat = jnp.concatenate(
+            [t_patch.reshape(n, -1), gx_p.reshape(n, -1), gy_p.reshape(n, -1)],
+            axis=1,
         )
-        # OpenCV's oscillation break (see _lk_level.body)
-        osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
-        step = jnp.where(osc[:, None], 0.5 * step, step)
-        # `it < max_iters` keeps the exact iteration cap under unrolling
-        upd = solvable & ~converged & (it < max_iters)
-        new_guess = jnp.where(upd[:, None], guess + step, guess)
-        small = jnp.sum(step * step, axis=-1) < eps * eps
-        return (new_guess, converged | small | osc | ~in_region(new_guess) | ~solvable,
-                jnp.where(upd[:, None], step, prev_step), it + 1)
+        tpl_c = jnp.einsum("kn,nf->kf", onehot, tpl_flat,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGH)
+        t_c = tpl_c[:, : win * win].reshape(k, win, win)
+        gx_c = tpl_c[:, win * win: 2 * win * win].reshape(k, win, win)
+        gy_c = tpl_c[:, 2 * win * win:].reshape(k, win, win)
+        take = lambda a: jnp.take(a, idx, axis=0)
+        g_c, conv_c, ps_c, _ = _gn_loop(
+            reg_c, (t_c, gx_c, gy_c),
+            (take(inv11), take(inv12), take(inv22)), take(solvable),
+            take(org), take(guess), take(prev_step), take(converged),
+            phase1_end, half, m, max_iters, eps,
+        )
+        # scatter back: non-gathered slots were already converged; gathered
+        # already-converged slots write back their unchanged values
+        return guess.at[idx].set(g_c), converged.at[idx].set(conv_c), \
+            prev_step.at[idx].set(ps_c)
 
-    def body_unrolled(state):
-        for _ in range(LK_UNROLL):
-            state = body(state)
-        return state
+    def full_continue(args):
+        guess, converged, prev_step = args
+        g, c, p, _ = _gn_loop(
+            regions_j, tpl, (inv11, inv12, inv22), solvable, org,
+            guess, prev_step, converged, phase1_end, half, m, max_iters, eps,
+        )
+        return g, c, p
 
-    def cond(state):
-        _, converged, _, it = state
-        return (it < max_iters) & ~jnp.all(converged)
-
-    guess, _, _, _ = jax.lax.while_loop(
-        cond, body_unrolled, (guess, ~solvable, jnp.zeros_like(guess), 0)
+    # overflow fallback: more stragglers than compacted slots (rare) — finish
+    # at full batch size so no feature is silently truncated
+    guess, converged, prev_step = jax.lax.cond(
+        jnp.sum(pending) <= k, compact_continue, full_continue,
+        (guess, converged, prev_step),
     )
     return guess, solvable, in_region
 
