@@ -405,8 +405,9 @@ def _reduced_camera_system(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam,
         u_blocks = jax.lax.psum(u_part, axis)
         s = jax.lax.psum(s_part, axis)
         rhs = jax.lax.psum(rhs_part, axis)
+        g_p = jax.lax.psum(g_p_part, axis)
     else:
-        u_blocks, s, rhs = u_part, s_part, rhs_part
+        u_blocks, s, rhs, g_p = u_part, s_part, rhs_part, g_p_part
 
     # damping of U uses the reduced (global) diagonal — matches single-device
     s = s + jnp.einsum("wv,wab->wavb", jnp.eye(w, dtype=dtype), damp(u_blocks))
@@ -416,7 +417,10 @@ def _reduced_camera_system(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam,
     s = s * fm[:, None, None, None] * fm[None, None, :, None]
     s = s + jnp.einsum("wv,ab->wavb", jnp.diag(1.0 - fm), jnp.eye(6, dtype=dtype))
     rhs = rhs * fm[:, None]
-    return s, rhs, v_inv, wl, g_l, lm_active, free
+    # raw gradients + damping diagonals for the LM gain-ratio (Nielsen) test
+    dp_diag = jnp.clip(jnp.diagonal(u_blocks, axis1=-2, axis2=-1), 1e-8, 1e32)
+    dl_diag = jnp.clip(jnp.diagonal(v, axis1=-2, axis2=-1), 1e-8, 1e32)
+    return s, rhs, v_inv, wl, g_l, lm_active, free, (g_p, dp_diag, dl_diag)
 
 
 def reduced_camera_condition(prob: LandmarkMajorProblem, cam, cfg,
@@ -436,12 +440,16 @@ def reduced_camera_condition(prob: LandmarkMajorProblem, cam, cfg,
 
 
 def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis):
-    """One damped Schur step on landmark-major (possibly sharded) arrays."""
+    """One damped Schur step on landmark-major (possibly sharded) arrays.
+
+    Returns ``(poses', lm_pos', predicted_decrease)`` — the predicted cost
+    decrease of the damped quadratic model, ``0.5 δᵀ(λ D δ + g)`` (Madsen/
+    Nielsen eq. 3.14 sign convention with g = -Jᵀr), used by the gain-ratio
+    damping update in ``lm_loop``."""
     dtype = poses.dtype
     w = poses.shape[0]
-    s, rhs, v_inv, wl, g_l, lm_active, free = _reduced_camera_system(
-        poses, lm_pos, lam, prob, cam, cfg, axis
-    )
+    s, rhs, v_inv, wl, g_l, lm_active, free, (g_p, dp_diag, dl_diag) = \
+        _reduced_camera_system(poses, lm_pos, lam, prob, cam, cfg, axis)
     fm = free.astype(dtype)
 
     n = w * 6
@@ -469,9 +477,17 @@ def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis
     delta_l = jnp.einsum("lbc,lc->lb", v_inv, g_l - wtdp)
     delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
 
+    # predicted decrease 0.5 δᵀ(λDδ + g); the landmark part sums locally per
+    # shard and psums (δl is landmark-sharded, δp replicated)
+    pred_p = 0.5 * jnp.sum(delta_p * (lam * dp_diag * delta_p + g_p * fm[:, None]))
+    pred_l = 0.5 * jnp.sum(delta_l * (lam * dl_diag * delta_l + g_l))
+    if axis is not None:
+        pred_l = jax.lax.psum(pred_l, axis)
+    pred = pred_p + pred_l
+
     new_poses = pose_retract(poses, delta_p)
     new_poses = jnp.where(free[:, None], new_poses, poses)
-    return new_poses, lm_pos + delta_l
+    return new_poses, lm_pos + delta_l, pred
 
 
 def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
@@ -484,8 +500,9 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
     cost0 = _lm_major_cost(poses0, lm0, prob, cam, cfg.min_depth, axis, hd)
 
     def body(carry):
-        poses, lm_pos, lam, cost, accepted, it, rel, done = carry
-        cand_p, cand_l = lm_major_step(poses, lm_pos, lam, prob, cam, cfg, axis)
+        poses, lm_pos, lam, nu, cost, accepted, it, rel, done = carry
+        cand_p, cand_l, pred = lm_major_step(poses, lm_pos, lam, prob, cam,
+                                             cfg, axis)
         cand_cost = _lm_major_cost(cand_p, cand_l, prob, cam, cfg.min_depth, axis, hd)
         # `upd` freezes the carry once done: under vmap (batched solves) the
         # loop keeps executing until EVERY batch element is done, and already-
@@ -496,23 +513,45 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
         poses = jnp.where(ok, cand_p, poses)
         lm_pos = jnp.where(ok, cand_l, lm_pos)
         cost_new = jnp.where(ok, cand_cost, cost)
+        # Nielsen gain-ratio damping (what Ceres' trust region does): the
+        # fixed accept->λ/3 schedule overshot after every accept, so solves
+        # oscillated accept/reject and burned the whole iteration budget —
+        # measured ~12 executed iterations for ~5 accepted. λ now shrinks by
+        # how well the quadratic model predicted the actual decrease.
+        rho = (cost - cand_cost) / jnp.maximum(pred, 1e-20)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         new_lam = jnp.where(
             upd,
-            jnp.clip(jnp.where(ok, lam / 3.0, lam * 4.0),
+            jnp.clip(jnp.where(ok, lam * shrink, lam * nu),
                      cfg.min_damping, cfg.max_damping),
             lam,
         )
+        nu = jnp.where(upd, jnp.where(ok, jnp.full_like(nu, 2.0), nu * 2.0), nu)
         rel = jnp.where(upd, jnp.abs(cost - cost_new) / jnp.maximum(cost, 1e-20), rel)
         # early exit (the jit analog of Ceres' function_tolerance + the 0.1 s
         # budget, bundle_adjuster.cpp:9-11): an accepted step that improved the
-        # cost by under rel_tol, or damping saturated after repeated rejects,
-        # means further iterations cannot change the published pose materially
-        done = done | (ok & (rel < cfg.lm_rel_tol)) | (upd & ~ok & (lam >= cfg.max_damping))
-        return poses, lm_pos, new_lam, cost_new, accepted + ok.astype(jnp.int32), \
+        # cost by under rel_tol, damping saturated after repeated rejects, OR a
+        # rejected step whose candidate was within rel_tol of the current cost
+        # (a flat region: raising damping only shrinks the step further, so no
+        # materially better iterate is reachable) — without the flat-reject
+        # exit the accept/reject oscillation near convergence burned the whole
+        # iteration budget on steps that changed nothing
+        flat_reject = upd & ~ok & (
+            jnp.abs(cand_cost - cost) < cfg.lm_rel_tol * jnp.maximum(cost, 1e-20)
+        )
+        done = done | (ok & (rel < cfg.lm_rel_tol)) | flat_reject \
+            | (upd & ~ok & (lam >= cfg.max_damping))
+        return poses, lm_pos, new_lam, nu, cost_new, \
+            accepted + ok.astype(jnp.int32), \
             it + jnp.where(upd, 1, 0).astype(jnp.int32), rel, done
 
+    def body2(carry):
+        # 2x unroll: halves while-step sequencing overhead; the second
+        # sub-iteration is a masked no-op once done
+        return body(body(carry))
+
     def cond(carry):
-        _, _, _, _, _, it, _, done = carry
+        _, _, _, _, _, _, it, _, done = carry
         return (it < cfg.max_lm_iters) & ~done
 
     # multiply by ones_like(cost0) so scalars carry the same varying-manual-axes
@@ -522,13 +561,14 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
         poses0,
         lm0,
         jnp.asarray(cfg.init_damping, poses0.dtype) * ones,
+         2.0 * ones,
         cost0,
         jnp.zeros_like(cost0).astype(jnp.int32),
         jnp.zeros_like(cost0).astype(jnp.int32),
         jnp.zeros_like(cost0),
         jnp.zeros_like(cost0).astype(bool),
     )
-    poses, lm_pos, _, cost, accepted, _, last_rel, _ = jax.lax.while_loop(
-        cond, body, init
+    poses, lm_pos, _, _, cost, accepted, _, last_rel, _ = jax.lax.while_loop(
+        cond, body2, init
     )
     return poses, lm_pos, cost0, cost, accepted, last_rel

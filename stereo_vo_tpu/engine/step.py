@@ -41,9 +41,9 @@ from stereo_vo_tpu.core import geometry as geo
 from stereo_vo_tpu.frontend.detect import dedup_new_features, detect_features
 from stereo_vo_tpu.frontend.pnp import pnp_ransac
 from stereo_vo_tpu.frontend.track import TrackerState, TrackStats, track_step, tracker_init
-from stereo_vo_tpu.frontend.triangulate import triangulate_features
+from stereo_vo_tpu.frontend.triangulate import triangulate_from_disparities
 from stereo_vo_tpu.ops.pyramid import build_pyramid
-from stereo_vo_tpu.ops.stereo_bm import stereo_bm_disparity
+from stereo_vo_tpu.ops.stereo_bm import stereo_bm_at
 
 
 class VOState(NamedTuple):
@@ -388,8 +388,8 @@ class VOEngine:
         n_det = jnp.sum(det_valid.astype(jnp.int32))
 
         def do_init(state):
-            disp = stereo_bm_disparity(
-                left_f, right.astype(jnp.float32),
+            disp_n = stereo_bm_at(
+                left_f, right.astype(jnp.float32), det_xy, det_valid,
                 num_disparities=cfg.frontend.bm_num_disparities,
                 block_size=cfg.frontend.bm_block_size,
                 prefilter_cap=cfg.frontend.bm_prefilter_cap,
@@ -397,8 +397,8 @@ class VOEngine:
                 uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
             )
             identity = geo.pose_identity()
-            p3, tri_valid = triangulate_features(disp, det_xy, det_valid,
-                                                 cfg.camera, identity)
+            p3, tri_valid = triangulate_from_disparities(
+                disp_n, det_xy, det_valid, cfg.camera, identity)
             sigma_d = cfg.backend.stereo_prior_sigma_px
             if sigma_d > 0:
                 fb = cfg.camera.focal * cfg.camera.baseline
@@ -471,16 +471,19 @@ class VOEngine:
             det_xy, det_valid, feat_xy, inlier_valid,
             cfg.frontend.min_distance,
         )
-        disp = stereo_bm_disparity(
-            left_f, right_f,
+        # sparse BM: disparity only at the new detections (the sole consumer,
+        # image_processor.cpp:191-207) — the dense [D,H,W] SAD volume was the
+        # single largest keyframe cost (~11 ms/keyframe on TPU)
+        disp_new = stereo_bm_at(
+            left_f, right_f, det_xy, new_valid,
             num_disparities=cfg.frontend.bm_num_disparities,
             block_size=cfg.frontend.bm_block_size,
             prefilter_cap=cfg.frontend.bm_prefilter_cap,
             texture_threshold=cfg.frontend.bm_texture_threshold,
             uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
         )
-        p3_new, tri_valid = triangulate_features(
-            disp, det_xy, new_valid, cfg.camera, pose
+        p3_new, tri_valid = triangulate_from_disparities(
+            disp_new, det_xy, new_valid, cfg.camera, pose
         )
         # stereo depth-noise prior weight: sigma_z = z^2 sigma_d / (f b)
         z_new = geo.pose_apply(pose[None, :], p3_new)[:, 2]

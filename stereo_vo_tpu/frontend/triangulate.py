@@ -32,6 +32,18 @@ def triangulate_features(
     (``image_processor.cpp:130-142``).
     """
     disp = disparity_at(disparity, xy)
+    return triangulate_from_disparities(disp, xy, valid, cam, pose_cw)
+
+
+def triangulate_from_disparities(
+    disp: jnp.ndarray,
+    xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam: CameraInfo,
+    pose_cw: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same as :func:`triangulate_features` but from per-feature disparities
+    (the sparse ``stereo_bm_at`` path — the engine never needs the dense map)."""
     ok = valid & (disp > 0)
     safe_disp = jnp.where(ok, disp, 1.0)
     p_cam = cam.back_project(xy, safe_disp)             # [F, 3]

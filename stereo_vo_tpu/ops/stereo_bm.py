@@ -108,6 +108,127 @@ def stereo_bm_disparity(
     return jnp.where(valid, disp, -1.0).astype(jnp.float32)
 
 
+def stereo_bm_at(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_disparities: int = 48,
+    block_size: int = 21,
+    prefilter_cap: int = 31,
+    texture_threshold: int = 10,
+    uniqueness_ratio: int = 15,
+) -> jnp.ndarray:
+    """StereoBM disparity evaluated ONLY at feature pixels — bit-equal to
+    ``disparity_at(stereo_bm_disparity(left, right), xy)``.
+
+    The pipeline consumes disparity at <=512 feature pixels per keyframe
+    (``image_processor.cpp:193``), yet the dense [D, H, W] SAD volume was
+    ~11 ms on TPU — the single largest keyframe cost. BM is pixelwise given
+    the (cheap, global) XSobel prefilter, so evaluating the 48-candidate SAD,
+    uniqueness, texture and sub-pixel logic on per-feature 21x21 windows is
+    exact and ~30x less work. Exactness notes: prefiltered values are small
+    integers (<= 2*cap), so the one-hot window-selection matmuls and f32 SAD
+    sums are all exact; argmin tie-breaks (first minimum) match the dense
+    ``jnp.argmin`` over ascending d.
+
+    Returns ``[N]`` float32 disparity, -1 where invalid.
+    """
+    from stereo_vo_tpu.ops.lk import _soft_selector
+
+    h, w = left.shape
+    n_in = xy.shape[0]
+    radius = block_size // 2
+    d_max = num_disparities
+    cap = float(prefilter_cap)
+    win = block_size
+    band = num_disparities + block_size - 1
+
+    lpre = _xsobel_prefilter(left, prefilter_cap)
+    rpre = _xsobel_prefilter(right, prefilter_cap)
+
+    # pad coords to the extraction kernel's batch granule
+    n = (n_in + 31) // 32 * 32
+    if n != n_in:
+        xy = jnp.concatenate([xy, jnp.zeros((n - n_in, 2), xy.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((n - n_in,), bool)], axis=0)
+
+    # truncated-int lookup coordinates (disparity_at semantics)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+
+    # one shared region per feature covering the left window AND the full
+    # right search band; 8-aligned square regions for the Pallas extractor
+    m = d_max + radius + 8
+    r_size = (band + radius + 2 + 7) // 8 * 8 + 8   # 68+12+pad -> 88
+    from stereo_vo_tpu.ops.lk import _extract_regions, _pad_edge
+
+    lp = _pad_edge(lpre[None], m)
+    rp = _pad_edge(rpre[None], m)
+    hp, wp = lp.shape[-2:]
+    ox = jnp.clip(((xi - (d_max + radius - 1) + m) // 8) * 8, 0, wp - r_size)
+    oy = jnp.clip(((yi - radius + m) // 8) * 8, 0, hp - r_size)
+    org = jnp.stack([ox, oy], axis=1)
+    lreg = _extract_regions(lp, org, r_size, r_size)   # [N, 1, R, R]
+    rreg = _extract_regions(rp, org, r_size, r_size)
+
+    def take_window(reg, row0, col0, wy, wx):
+        """Integer-offset [wy, wx] window per feature; exact (one-hot weights,
+        integer-valued operands <= 2*cap are bf16-exact)."""
+        zeros = jnp.zeros_like(row0, jnp.float32)
+        rowsel = _soft_selector(row0, zeros, wy, r_size)
+        colsel = _soft_selector(col0, zeros, wx, r_size)
+        tmp = jnp.einsum("nar,nrs->nas", rowsel, reg[:, 0],
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("nas,nbs->nab", tmp, colsel,
+                          preferred_element_type=jnp.float32)
+
+    px = xi + m - ox      # feature column in region coords
+    py = yi + m - oy
+    lwin = take_window(lreg, py - radius, px - radius, win, win)
+    rband = take_window(rreg, py - radius, px - (d_max - 1) - radius, win, band)
+
+    # SAD per disparity: right window for d sits at band offset (d_max-1) - d
+    sads = jnp.stack(
+        [
+            jnp.sum(
+                jnp.abs(
+                    lwin
+                    - jax.lax.slice(
+                        rband, (0, 0, d_max - 1 - d), (n, win, d_max - 1 - d + win)
+                    )
+                ),
+                axis=(1, 2),
+            )
+            for d in range(num_disparities)
+        ]
+    )                                                   # [D, N]
+
+    best_d = jnp.argmin(sads, axis=0)                   # [N]
+    best_c = jnp.min(sads, axis=0)
+    ds = jnp.arange(num_disparities)[:, None]
+    near = jnp.abs(ds - best_d[None]) <= 1
+    second = jnp.min(jnp.where(near, jnp.inf, sads), axis=0)
+    unique_ok = second * 100.0 >= best_c * (100.0 + uniqueness_ratio)
+    tex = jnp.sum(jnp.abs(lwin - cap), axis=(1, 2))
+    tex_ok = tex >= texture_threshold
+    inside = (
+        (yi >= radius)
+        & (yi < h - radius)
+        & (xi >= num_disparities + radius - 1)
+        & (xi < w - radius)
+    )
+    d0 = jnp.clip(best_d, 1, num_disparities - 2)
+    c_m = jnp.sum(jnp.where(ds == d0[None] - 1, sads, 0.0), axis=0)
+    c_0 = jnp.sum(jnp.where(ds == d0[None], sads, 0.0), axis=0)
+    c_p = jnp.sum(jnp.where(ds == d0[None] + 1, sads, 0.0), axis=0)
+    denom = jnp.maximum(c_m + c_p - 2.0 * c_0, 1e-9)
+    delta = jnp.clip((c_m - c_p) / (2.0 * denom), -0.5, 0.5)
+    disp = jnp.where(best_d == d0, best_d + delta, best_d.astype(jnp.float32))
+    ok = inside & unique_ok & tex_ok & valid
+    return jnp.where(ok, disp, -1.0).astype(jnp.float32)[:n_in]
+
+
 def disparity_at(
     disparity: jnp.ndarray, xy: jnp.ndarray
 ) -> jnp.ndarray:
