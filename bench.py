@@ -260,23 +260,56 @@ def main():
     cpu_fps = measure_cpu_twin(frames, kf_ratio)
 
     # --- accuracy parity, SAME frames both sides (VERDICT r1 item 2) -------
-    gt = world.gt_poses[: len(run.poses)]
-    kf_mask = np.array([s["is_keyframe"] for s in run.frame_stats])
+    # Averaged over worlds: single-run keyframe-ATE is chaotic (sub-pixel
+    # perturbations flip 129-frame trajectories between ~0.5 m and ~1.1 m
+    # basins — measured across equal-quality builds), so parity is judged on
+    # a multi-seed mean, never one draw.
+    acc_seeds = [0] if args.quick else [0, 1, 2]
+    ours_kf, ours_kfa, ours_all = [], [], []
+    twin_kfm, twin_kfa, twin_all = [], [], []
+    for seed in acc_seeds:
+        if seed == 0:
+            w_s, frames_s, run_s = world, frames, run
+        else:
+            from stereo_vo_tpu.data.synthetic import SyntheticStereoSequence
+
+            w_s = SyntheticStereoSequence(
+                cam=cfg.camera, n_frames=n_frames, shape=(376, 1241),
+                n_points=4000, seed=seed, speed=0.8, yaw_rate=0.003,
+            )
+            frames_s = list(w_s)
+            run_s = measure_tpu(cfg, frames_s, args.chunk)
+        gt_s = w_s.gt_poses[: len(run_s.poses)]
+        kf_s = np.array([s["is_keyframe"] for s in run_s.frame_stats])
+        ours_kf.append(ate_pair(run_s.poses, gt_s, kf_s))
+        ours_kfa.append(ate_pair(run_s.poses, gt_s, kf_s, align=True))
+        ours_all.append(ate_pair(run_s.poses, gt_s))
+        tp, ts = measure_twin_trajectory(frames_s, cfg)
+        if tp is not None:
+            tp = tp[: len(gt_s)]
+            tm = np.array([s["is_keyframe"] for s in ts])[: len(tp)]
+            twin_kfm.append(ate_pair(tp, gt_s[: len(tp)], tm))
+            twin_kfa.append(ate_pair(tp, gt_s[: len(tp)], tm, align=True))
+            twin_all.append(ate_pair(tp, gt_s[: len(tp)]))
+
+    def mean(xs):
+        xs = [x for x in xs if x is not None]
+        return round(float(np.mean(xs)), 3) if xs else None
+
     acc = {
-        "ate_keyframes_m": ate_pair(run.poses, gt, kf_mask),
-        "ate_keyframes_aligned_m": ate_pair(run.poses, gt, kf_mask, align=True),
-        "ate_all_m": ate_pair(run.poses, gt),
+        "ate_keyframes_m": mean(ours_kf),
+        "ate_keyframes_aligned_m": mean(ours_kfa),
+        "ate_all_m": mean(ours_all),
+        "ate_seeds": acc_seeds,
+        "ate_keyframes_per_seed": ours_kf,
+        "ate_all_per_seed": ours_all,
     }
-    twin_poses, twin_stats = measure_twin_trajectory(frames, cfg)
-    if twin_poses is not None:
-        twin_poses = twin_poses[: len(gt)]
-        twin_kf = np.array([s["is_keyframe"] for s in twin_stats])[: len(gt)]
+    if twin_all:
         acc.update(
-            twin_ate_keyframes_m=ate_pair(twin_poses, gt[: len(twin_poses)], twin_kf),
-            twin_ate_keyframes_aligned_m=ate_pair(
-                twin_poses, gt[: len(twin_poses)], twin_kf, align=True
-            ),
-            twin_ate_all_m=ate_pair(twin_poses, gt[: len(twin_poses)]),
+            twin_ate_keyframes_m=mean(twin_kfm),
+            twin_ate_keyframes_aligned_m=mean(twin_kfa),
+            twin_ate_all_m=mean(twin_all),
+            twin_ate_all_per_seed=twin_all,
         )
         if acc["ate_all_m"] and acc["twin_ate_all_m"]:
             acc["ate_vs_twin"] = round(acc["ate_all_m"] / acc["twin_ate_all_m"], 3)

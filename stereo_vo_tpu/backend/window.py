@@ -99,6 +99,8 @@ def add_keyframe(
     new_p3: jnp.ndarray,
     new_valid: jnp.ndarray,
     new_prior_w: jnp.ndarray = None,
+    tracked_prior_pos: jnp.ndarray = None,
+    tracked_prior_w: jnp.ndarray = None,
 ) -> Tuple[WindowState, jnp.ndarray, jnp.ndarray]:
     """Add a keyframe; evict the oldest pose if the window overflows.
 
@@ -141,8 +143,29 @@ def add_keyframe(
     lm_valid = state.lm_valid.at[scat_ids].set(True, mode="drop")
     if new_prior_w is None:
         new_prior_w = jnp.zeros(new_valid.shape, state.lm_prior_w.dtype)
-    lm_prior = state.lm_prior.at[scat_ids].set(new_p3, mode="drop")
-    lm_prior_w = state.lm_prior_w.at[scat_ids].set(new_prior_w, mode="drop")
+    lm_prior = state.lm_prior
+    lm_prior_w = state.lm_prior_w
+
+    # --- stereo-prior refresh for TRACKED landmarks (beyond the reference,
+    # which only triangulates features at birth, image_processor.cpp:137-142):
+    # every keyframe's block-matching depth at a tracked inlier is an
+    # independent stereo measurement of its landmark, fused into the prior as
+    # an information filter (weights are inverse variances), so the scale
+    # anchor tightens with every observation instead of freezing at birth.
+    if tracked_prior_w is not None:
+        tw = jnp.where(tracked_valid, tracked_prior_w, 0.0)
+        t_scat = jnp.where(tw > 0, tracked_lm, state.landmark_capacity)
+        num = lm_prior * lm_prior_w[:, None]
+        num = num.at[t_scat].add(tw[:, None] * tracked_prior_pos, mode="drop")
+        lm_prior_w = lm_prior_w.at[t_scat].add(tw, mode="drop")
+        lm_prior = jnp.where(
+            (lm_prior_w > 0)[:, None],
+            num / jnp.maximum(lm_prior_w, 1e-20)[:, None],
+            lm_prior,
+        )
+
+    lm_prior = lm_prior.at[scat_ids].set(new_p3, mode="drop")
+    lm_prior_w = lm_prior_w.at[scat_ids].set(new_prior_w, mode="drop")
 
     # --- tracked features: bump refcounts (bundle_adjuster.cpp:77).
     lm_refcount = lm_refcount.at[jnp.where(tracked_valid, tracked_lm, 0)].add(

@@ -471,34 +471,58 @@ class VOEngine:
             det_xy, det_valid, feat_xy, inlier_valid,
             cfg.frontend.min_distance,
         )
-        # sparse BM: disparity only at the new detections (the sole consumer,
-        # image_processor.cpp:191-207) — the dense [D,H,W] SAD volume was the
-        # single largest keyframe cost (~11 ms/keyframe on TPU)
-        disp_new = stereo_bm_at(
-            left_f, right_f, det_xy, new_valid,
+        # sparse BM: disparity only where it's consumed — the new detections
+        # (image_processor.cpp:191-207) AND the tracked inliers (our stereo-
+        # prior refresh, see add_keyframe) in one call; the dense [D,H,W] SAD
+        # volume was the single largest keyframe cost (~11 ms/keyframe on TPU)
+        n_det = det_xy.shape[0]
+        cat_xy = jnp.concatenate([det_xy, feat_xy], axis=0)
+        cat_ok = jnp.concatenate([new_valid, inlier_valid], axis=0)
+        disp_cat = stereo_bm_at(
+            left_f, right_f, cat_xy, cat_ok,
             num_disparities=cfg.frontend.bm_num_disparities,
             block_size=cfg.frontend.bm_block_size,
             prefilter_cap=cfg.frontend.bm_prefilter_cap,
             texture_threshold=cfg.frontend.bm_texture_threshold,
             uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
         )
+        disp_new, disp_trk = disp_cat[:n_det], disp_cat[n_det:]
         p3_new, tri_valid = triangulate_from_disparities(
             disp_new, det_xy, new_valid, cfg.camera, pose
         )
+
         # stereo depth-noise prior weight: sigma_z = z^2 sigma_d / (f b)
-        z_new = geo.pose_apply(pose[None, :], p3_new)[:, 2]
         sigma_d = cfg.backend.stereo_prior_sigma_px
-        if sigma_d > 0:
-            fb = cfg.camera.focal * cfg.camera.baseline
-            w_new = (fb / (jnp.maximum(z_new, 1.0) ** 2 * sigma_d)) ** 2
-            w_new = jnp.where(tri_valid, w_new, 0.0)
-        else:
-            w_new = jnp.zeros_like(z_new)
+        fb = cfg.camera.focal * cfg.camera.baseline
+
+        def prior_weight(p3, ok):
+            z = geo.pose_apply(pose[None, :], p3)[:, 2]
+            if sigma_d <= 0:
+                return jnp.zeros_like(z)
+            w = (fb / (jnp.maximum(z, 1.0) ** 2 * sigma_d)) ** 2
+            return jnp.where(ok, w, 0.0)
+
+        w_new = prior_weight(p3_new, tri_valid)
+
+        # tracked-landmark prior refresh: this keyframe's stereo depth at each
+        # tracked inlier, gated against its existing prior (a grossly
+        # inconsistent match is a block-matching outlier, not evidence)
+        p3_trk, trk_ok = triangulate_from_disparities(
+            disp_trk, feat_xy, inlier_valid, cfg.camera, pose
+        )
+        prior_old = window.lm_prior[feat_ids]
+        w_old = window.lm_prior_w[feat_ids]
+        dist = jnp.linalg.norm(p3_trk - prior_old, axis=-1)
+        z_trk = geo.pose_apply(pose[None, :], p3_trk)[:, 2]
+        consistent = (w_old <= 0) | (dist < 0.25 * jnp.maximum(z_trk, 1.0))
+        w_trk = jnp.where(consistent, prior_weight(p3_trk, trk_ok), 0.0)
+
         window, new_ids, new_ids_valid = add_keyframe(
             window, cfg.backend, pose,
             feat_xy, feat_ids, inlier_valid,
             _pad_to(det_xy, f_cap), _pad_to(p3_new, f_cap),
             _pad_to(tri_valid, f_cap), _pad_to(w_new, f_cap),
+            tracked_prior_pos=p3_trk, tracked_prior_w=w_trk,
         )
         window, ba_stats = bundle_adjust(window, cfg.camera, cfg.backend)
         opt_pose = newest_pose(window)
