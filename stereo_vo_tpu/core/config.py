@@ -68,7 +68,12 @@ class BackendConfig:
 
     window_size: int = 5           # vo_node.cpp:36
     max_features: int = 400        # per-keyframe observation cap (bundle_adjuster.hpp:75)
-    feature_capacity: int = 512    # static per-keyframe feature-array capacity (>= max_features)
+    # Static per-keyframe feature-array capacity. Must exceed max_features
+    # (the only bound on simultaneously-valid slots: tracker re-init packs
+    # inlier tracked + new, both capped at 400 total) with headroom for slot
+    # packing; every LK cost scales linearly with it, so keep it tight.
+    # 448 = 64*7 keeps the extraction kernel's 32-feature granule.
+    feature_capacity: int = 448
     landmark_capacity: int = 2048  # static landmark-table capacity (>= window*max_features)
     # Ceres budget is 0.1 s wall-clock (bundle_adjuster.cpp:11); on TPU the solve is
     # a fixed iteration count tuned to land at equivalent accuracy.
