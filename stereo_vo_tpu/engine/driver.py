@@ -41,119 +41,6 @@ class VORun:
     state: object                     # final VOState
 
 
-def run_vo_batched(
-    streams,
-    config: PipelineConfig,
-    chunk_size: int = 16,
-    max_frames: Optional[int] = None,
-):
-    """Offline throughput mode: replay B independent sequences concurrently.
-
-    The TPU-first answer to "the chip is much bigger than one 0.5 MP stream":
-    mapping/offline sweeps process many sequences at once through the
-    two-phase batched step (``VOEngine._step_batched``), amortizing the
-    per-op dispatch latency that bounds single-stream frame time.
-
-    Returns ``(runs, aggregate_fps)`` where ``runs[i]`` is a ``VORun`` for
-    sequence ``i`` (poses/stats/ATE) and ``aggregate_fps`` counts frames
-    across all sequences per wall-second (bootstrap + first-chunk compile
-    excluded, like ``run_vo``).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from stereo_vo_tpu.engine.step import parse_summary
-
-    frames_per_seq = []
-    for s in streams:
-        fr = list(s)
-        if max_frames is not None:
-            fr = fr[:max_frames]
-        frames_per_seq.append(fr)
-    n = min(len(f) for f in frames_per_seq)
-    n_chunks = (n - 1) // chunk_size
-    n_used = 1 + n_chunks * chunk_size
-    frames_per_seq = [f[:n_used] for f in frames_per_seq]
-    b = len(frames_per_seq)
-
-    engine = VOEngine(config, frames_per_seq[0][0].left.shape)
-    states = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[engine.init_state() for _ in range(b)]
-    )
-    left0 = jnp.asarray(np.stack([f[0].left for f in frames_per_seq]))
-    right0 = jnp.asarray(np.stack([f[0].right for f in frames_per_seq]))
-    states, out0 = engine.batched_bootstrap(states, left0, right0)
-
-    poses = [[np.asarray(p)] for p in out0.pose_cw]
-    stats = [
-        [parse_summary(np.asarray(jax.vmap(lambda o: o.summary)(out0))[i])[1]]
-        for i in range(b)
-    ]
-
-    # stage chunks on device up front (offline mode)
-    chunks = []
-    for c0 in range(1, n_used, chunk_size):
-        grp = [f[c0 : c0 + chunk_size] for f in frames_per_seq]
-        lefts = jnp.asarray(
-            np.stack([np.stack([fr.left for fr in g]) for g in grp], axis=1)
-        )  # [K, B, H, W]
-        rights = jnp.asarray(
-            np.stack([np.stack([fr.right for fr in g]) for g in grp], axis=1)
-        )
-        chunks.append((lefts, rights))
-    jax.block_until_ready(chunks)
-
-    # dispatch every chunk asynchronously — the device chains them through the
-    # carried state while the host stays ahead; wall-clock is measured from
-    # the first chunk's completion (which absorbed compilation) to the last's
-    outs = []
-    for lefts, rights in chunks:
-        states, ch_poses, ch_summaries = engine.batched_replay_chunk(
-            states, lefts, rights
-        )
-        outs.append((ch_poses, ch_summaries))
-    # np.asarray (a real device->host fetch) is the sync point: on relay-
-    # attached devices block_until_ready can report optimistically
-    t_start = None
-    n_timed = 0
-    fetched = []
-    if outs:
-        fetched.append((np.asarray(outs[0][0]), np.asarray(outs[0][1])))
-        t_start = time.perf_counter()
-        for o in outs[1:]:
-            fetched.append((np.asarray(o[0]), np.asarray(o[1])))
-        n_timed = sum(int(o[0].shape[0]) * b for o in outs[1:])
-    elapsed = time.perf_counter() - t_start if t_start else 0.0
-    agg_fps = n_timed / elapsed if elapsed > 0 and n_timed else 0.0
-
-    for ci, (ch_poses, ch_summaries) in enumerate(fetched):
-        for k in range(ch_poses.shape[0]):
-            for i in range(b):
-                pose, row = parse_summary(ch_summaries[k, i])
-                row["frame"] = 1 + ci * chunk_size + k
-                poses[i].append(ch_poses[k, i])
-                stats[i].append(row)
-
-    runs = []
-    for i in range(b):
-        parr = np.stack(poses[i])
-        gts = [fr.gt_pose for fr in frames_per_seq[i]]
-        gt_arr = np.stack(gts) if all(g is not None for g in gts) else None
-        ate = None
-        if gt_arr is not None and len(parr) >= 3:
-            from stereo_vo_tpu.eval.ate import absolute_trajectory_error
-
-            ate = absolute_trajectory_error(parr, gt_arr, align=True)
-        runs.append(
-            VORun(
-                poses=parr, gt_poses=gt_arr, frame_stats=stats[i],
-                frames_per_sec=agg_fps / max(b, 1), ate=ate, engine=engine,
-                state=jax.tree.map(lambda x, i=i: x[i], states),
-            )
-        )
-    return runs, agg_fps
-
-
 def run_vo(
     stream,
     config: PipelineConfig,

@@ -152,8 +152,6 @@ class VOEngine:
         self.step = jax.jit(self._step)
         self.bootstrap = jax.jit(self._bootstrap)
         self.replay_chunk = jax.jit(self._replay_chunk)
-        self.batched_bootstrap = jax.jit(jax.vmap(self._bootstrap))
-        self.batched_replay_chunk = jax.jit(self._batched_replay_chunk)
 
     def _replay_chunk(self, state: "VOState", lefts, rights):
         """Process a whole chunk of frames in one device program (lax.scan).
@@ -169,186 +167,6 @@ class VOEngine:
 
         state, (poses, summaries) = jax.lax.scan(body, state, (lefts, rights))
         return state, poses, summaries
-
-    def _batched_replay_chunk(self, states, lefts, rights):
-        """Replay a chunk for B independent sequences at once (two-phase step).
-
-        ``states`` is a batched VOState (leading axis B); ``lefts/rights`` are
-        ``[K, B, H, W]``. Throughput mode for multi-sequence workloads
-        (mapping/offline sweeps): batching amortizes the per-op dispatch
-        latency that bounds the single-stream frontend. See ``_step_batched``
-        for why this is NOT simply ``vmap(_step)``.
-        Returns ``(states, poses [K, B, 7], summaries [K, B, 18])``.
-        """
-
-        def body(st, lr):
-            st, out = self._step_batched(st, lr[0], lr[1])
-            summaries = jax.vmap(lambda o: o.summary)(out)
-            return st, (out.pose_cw, summaries)
-
-        states, (poses, summaries) = jax.lax.scan(body, states, (lefts, rights))
-        return states, poses, summaries
-
-    # ------------------------------------------------------------------
-    def _step_batched(self, states: VOState, lefts, rights):
-        """One frame for B independent sequences — the two-phase design.
-
-        ``vmap(_step)`` would turn the keyframe ``lax.cond`` into both-branch
-        execution, paying full keyframe cost (detect + StereoBM + BA) every
-        frame for every sequence, which measured *slower* than single-stream.
-        Instead the expensive phases keep **scalar** predicates, which survive
-        jit as real branches:
-
-        - phase A (always): batched pyramid/peaks/LK for all B — this is the
-          latency-bound part of the pipeline, and batching is nearly free;
-        - phase B (``lax.cond(jnp.any(accept))``): batched PnP, results masked
-          to accepting sequences;
-        - phase C (``lax.cond(jnp.any(do_kf))``): batched keyframe work
-          (detect, StereoBM, triangulation, window update, vmapped BA), with
-          per-sequence selects applying it only where a keyframe fired.
-
-        With B sequences at keyframe-rate p, phase C runs on ``1-(1-p)^B`` of
-        frames but serves all fired sequences at once.
-        """
-        cfg = self.config
-        f_cap = cfg.backend.feature_capacity
-        b = lefts.shape[0]
-        lefts_f = lefts.astype(jnp.float32)
-        rights_f = rights.astype(jnp.float32)
-
-        from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks
-
-        n_peaks = jax.vmap(
-            lambda im: count_quality_peaks(
-                im, cfg.frontend.quality_level, cfg.frontend.detect_block_size
-            )
-        )(lefts_f)
-        n_det = jnp.minimum(n_peaks, cfg.frontend.max_detect)
-        has_det = n_peaks >= cfg.frontend.min_detected
-        pyr = jax.vmap(
-            lambda im: tuple(build_pyramid(im, cfg.frontend.lk_max_level))
-        )(lefts_f)
-
-        tracked, stats = jax.vmap(
-            lambda tr, py: track_step(tr, py, cfg.frontend)
-        )(states.tracker, pyr)
-
-        accept = has_det & (
-            (stats.av_parallax > cfg.frontend.parallax_thresh)
-            | (stats.percent_lost >= cfg.frontend.lost_thresh)
-        )
-
-        def batched_pnp(_):
-            def one(window, txy, tids, tvalid, pnp_pose, fidx):
-                world_pts = get_world_points(window, tids)
-                return pnp_ransac(
-                    world_pts, txy, tvalid, cfg.camera, pnp_pose,
-                    fidx.astype(jnp.uint32), cfg.frontend,
-                )
-
-            return jax.vmap(one)(
-                states.window, tracked.feat_xy, tracked.feat_ids,
-                tracked.feat_valid, states.pnp_pose, states.frame_idx,
-            )
-
-        def skip_pnp(_):
-            from stereo_vo_tpu.frontend.pnp import PnPResult
-
-            return PnPResult(
-                pose=states.pnp_pose,
-                inliers=jnp.zeros((b, f_cap), bool),
-                num_inliers=jnp.zeros((b,), jnp.int32),
-                ok=jnp.zeros((b,), bool),
-            )
-
-        res = jax.lax.cond(jnp.any(accept), batched_pnp, skip_pnp, None)
-        do_kf = accept & res.ok
-
-        small = (
-            states.window, states.pnp_pose, states.cur_pose,
-            tracked.feat_xy, tracked.feat_ids, tracked.feat_valid,
-        )
-
-        def kf_phase(args):
-            return jax.vmap(self._keyframe_work)(
-                lefts_f, rights_f, res.pose, res.inliers, args
-            )
-
-        def no_kf(args):
-            zf = jnp.zeros((b,), jnp.float32)
-            zi = jnp.zeros((b,), jnp.int32)
-            return args, (zf, zf, zi, zi)
-
-        kf_out, (ba_c0, ba_c1, ba_iters, n_newlm) = jax.lax.cond(
-            jnp.any(do_kf), kf_phase, no_kf, small
-        )
-
-        def bsel(mask, new, old):
-            m = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
-            return jnp.where(m, new, old)
-
-        (window, pnp_pose, cur_pose, slot_xy, slot_ids, slot_valid) = jax.tree.map(
-            lambda nw, od: bsel(do_kf, nw, od), kf_out, small
-        )
-        was_kf = do_kf
-        zf_b = jnp.zeros((b,), jnp.float32)
-        zi_b = jnp.zeros((b,), jnp.int32)
-        ba_c0 = jnp.where(was_kf, ba_c0, 0.0)
-        ba_c1 = jnp.where(was_kf, ba_c1, 0.0)
-        ba_iters = jnp.where(was_kf, ba_iters, 0)
-        n_newlm = jnp.where(was_kf, n_newlm, 0)
-
-        new_pyramid = jax.tree.map(
-            lambda nl, ol: bsel(has_det, nl, ol), pyr, states.tracker.pyramid
-        )
-
-        def sel(kf_val, track_val, old_val):
-            return bsel(was_kf, kf_val, bsel(has_det, track_val, old_val))
-
-        tr = states.tracker
-        new_tracker = TrackerState(
-            pyramid=new_pyramid,
-            feat_xy=sel(slot_xy, tracked.feat_xy, tr.feat_xy),
-            feat_ids=sel(slot_ids, tracked.feat_ids, tr.feat_ids),
-            feat_valid=sel(slot_valid, tracked.feat_valid, tr.feat_valid),
-            init_xy=sel(slot_xy, tr.init_xy, tr.init_xy),
-            init_count=sel(
-                jnp.sum(slot_valid.astype(jnp.int32), axis=1),
-                tr.init_count, tr.init_count,
-            ),
-        )
-
-        new_states = VOState(
-            tracker=new_tracker,
-            window=window,
-            pnp_pose=pnp_pose,
-            cur_pose=cur_pose,
-            frame_idx=states.frame_idx + 1,
-            initialized=states.initialized,
-        )
-
-        out = StepOutput(
-            pose_cw=cur_pose,
-            pose_wc=jax.vmap(geo.pose_inverse)(cur_pose),
-            is_keyframe=was_kf,
-            pnp_ok=jnp.where(accept, res.ok, True),
-            num_detected=n_det,
-            num_tracked=jnp.where(has_det, stats.num_tracked, zi_b),
-            num_inliers=jnp.where(accept, res.num_inliers, zi_b),
-            num_new_landmarks=n_newlm,
-            av_parallax=jnp.where(has_det, stats.av_parallax, zf_b),
-            percent_lost=jnp.where(has_det, stats.percent_lost, zf_b),
-            ba_initial_cost=ba_c0,
-            ba_final_cost=ba_c1,
-            ba_iterations=ba_iters,
-            track_from=tr.init_xy,
-            track_to=bsel(has_det, tracked.feat_xy, tr.feat_xy),
-            track_valid=bsel(
-                was_kf, tracked.feat_valid & res.inliers,
-                bsel(has_det, tracked.feat_valid, tr.feat_valid),
-            ),
-        )
-        return new_states, out
 
     # ------------------------------------------------------------------
     def init_state(self) -> VOState:
@@ -454,8 +272,7 @@ class VOEngine:
 
     # ------------------------------------------------------------------
     def _keyframe_work(self, left_f, right_f, pose, inliers, args):
-        """Keyframe-branch body (``image_processor.cpp:95-162`` + BA), shared
-        by the single-sequence cond and the batched two-phase path (vmapped).
+        """Keyframe-branch body (``image_processor.cpp:95-162`` + BA).
 
         ``args`` is the small-state tuple; returns ``(new_args, (ba_c0, ba_c1,
         ba_iters, n_new_landmarks))``.
