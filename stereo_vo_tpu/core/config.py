@@ -58,6 +58,14 @@ class FrontendConfig:
     pnp_iterations: int = 100
     pnp_reproj_thresh: float = 8.0
     pnp_confidence: float = 0.99
+    # Backward-verification pyramid depth: number of finest levels the
+    # round-trip check walks. 0 (default) = all levels, OpenCV's exact
+    # coarse-to-fine semantics (feature_tracker.cpp:31-47). Truncated passes
+    # trade trajectory accuracy for speed (129-frame 3-seed means on the
+    # bench world: full 0.37 m keyframe-ATE @ 96 f/s; 2 levels 0.52 @ 118;
+    # 1 level 0.75 @ 139) — a permissive round-trip admits scale-sliding
+    # features whose positions are poor. Accuracy-first default: full.
+    lk_bwd_levels: int = 0
     pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
     pnp_refine_iters: int = 10     # GN refinement on inliers
 

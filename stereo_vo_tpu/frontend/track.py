@@ -74,6 +74,7 @@ def track_step(
             list(state.pyramid), list(new_pyramid), state.feat_xy,
             state.feat_valid, window=cfg.lk_window, max_iters=cfg.lk_iters,
             eps=cfg.lk_eps, min_eig_threshold=cfg.lk_min_eig,
+            bwd_levels=getattr(cfg, "lk_bwd_levels", 0),
         )
         roundtrip = jnp.linalg.norm(state.feat_xy - bwd_xy, axis=1)
         ok = fwd_ok & bwd_ok & (roundtrip < cfg.fb_thresh)

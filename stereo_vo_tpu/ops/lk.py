@@ -488,16 +488,28 @@ def lk_track_fwdbwd(
     min_eig_threshold: float = 1e-2,
     slack: int = LK_SLACK,
     slack_top: int = LK_SLACK_TOP,
+    bwd_levels: int = 0,
 ):
     """Forward track + backward verification in one fused pass.
 
     Returns ``(tracked [N, 2], fwd_ok [N], back [N, 2], bwd_ok [N])`` — the
     backward result is the round-trip endpoint for the 2 px gate
     (``feature_tracker.cpp:31-47``).
+
+    ``bwd_levels`` limits the backward verification to the finest L pyramid
+    levels (0 / >=n_levels = all of them: OpenCV's exact coarse-to-fine
+    semantics, initialized at the forward endpoint). A truncated backward
+    pass initializes at the forward endpoint scaled to its top level and
+    saves the coarsest level passes; level passes are the dominant LK cost.
+    NOTE: verifying at level 0 ONLY measured as too permissive — features
+    whose appearance scales between frames round-trip within the gate yet
+    carry poor positions, degrading trajectory accuracy — so keep >= 2.
     """
     half = window // 2
     n_levels = len(prev_pyr)
     win = 2 * half + 1
+    if bwd_levels <= 0:
+        bwd_levels = n_levels
 
     # ---------- forward pass, caching regions per level
     scale_top = float(2 ** (n_levels - 1))
@@ -531,7 +543,8 @@ def lk_track_fwdbwd(
         prev_reg = _extract_regions(prev_p, prev_org, ry, rx)
         next_reg = _extract_regions(next_p, next_org, ry, rx)
         prev_reg, next_reg = _center_regions(prev_reg, next_reg)
-        cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m))
+        if lvl < bwd_levels:
+            cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m))
 
         tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)
         tpl = _sample_template(prev_reg, tpl_pos, win)
@@ -549,8 +562,15 @@ def lk_track_fwdbwd(
             guess = guess * 2.0
     tracked = guess
 
-    # ---------- backward pass over the cached regions (roles swapped)
-    bguess = tracked / scale_top
+    # ---------- backward pass over the cached regions (roles swapped).
+    # Full depth initializes at the forward endpoint (OpenCV semantics); a
+    # truncated pass instead initializes at the ORIGINAL point scaled to its
+    # top level — the round-trip answer the 2 px gate tests for — because
+    # without the coarse levels the backward flow cannot walk a large motion
+    # within the per-level slack. The remaining coarse level(s) still verify
+    # appearance-consistency before level 0 confirms the position.
+    bguess = (tracked if bwd_levels >= n_levels else pts) / \
+        float(2 ** (bwd_levels - 1))
     bok = fwd_ok
     for (lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m) in cache:
         tracked_l = tracked / float(2 ** lvl)
