@@ -158,7 +158,6 @@ def _lk_level(
     # down to 8 so the Pallas DMA extraction path can slice HBM)
     rx = ry = ((win + 2 + 2 * slack + 9) + 7) // 8 * 8
     m = half + slack + 2                 # image pad (incl. gradient ring)
-    win_area = float(win * win)
 
     prev_p = _pad_edge(prev_img[None], m)
     next_p = _pad_edge(next_img[None], m)
@@ -183,71 +182,9 @@ def _lk_level(
     # Continuous region coordinates of a window top-left for image point p:
     # (p - half) + m - origin.
     tpl_pos = pts_prev - half + m - prev_org.astype(pts_prev.dtype)
-    t_patch, gx_p, gy_p = _sample_template(prev_reg, tpl_pos, win)
-
-    g11 = jnp.sum(gx_p * gx_p, axis=(1, 2))
-    g12 = jnp.sum(gx_p * gy_p, axis=(1, 2))
-    g22 = jnp.sum(gy_p * gy_p, axis=(1, 2))
-    tr = g11 + g22
-    det = g11 * g22 - g12 * g12
-    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5
-    eig_ok = (min_eig / win_area) >= min_eig_threshold
-    det_ok = det > 1e-12
-    solvable = eig_ok & det_ok & active
-
-    safe_det = jnp.where(det_ok, det, 1.0)
-    inv11 = jnp.where(det_ok, g22 / safe_det, 0.0)
-    inv12 = jnp.where(det_ok, -g12 / safe_det, 0.0)
-    inv22 = jnp.where(det_ok, g11 / safe_det, 0.0)
-
-    next_org_f = next_org.astype(guess.dtype)
-
-    def in_region(g):
-        pos = g - half + m - next_org_f
-        return (
-            (pos[:, 0] >= 0) & (pos[:, 0] <= rx - win - 1)
-            & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
-        )
-
-    def body(state):
-        guess, converged, prev_step, it = state
-        pos = guess - half + m - next_org_f
-        pos = jnp.clip(pos, 0.0, None)
-        pos = jnp.minimum(pos, jnp.array([rx - win - 1, ry - win - 1], pos.dtype))
-        j_patch = _sample(next_reg, pos, win)[:, 0]
-        di = j_patch - t_patch
-        bx = jnp.sum(di * gx_p, axis=(1, 2))
-        by = jnp.sum(di * gy_p, axis=(1, 2))
-        dx = -(inv11 * bx + inv12 * by)
-        dy = -(inv12 * bx + inv22 * by)
-        step = jnp.stack([dx, dy], axis=-1)
-        # OpenCV's oscillation break: a reversing update direction means the
-        # feature is bouncing around its optimum — back off half the step and
-        # stop it (lkpyramid's delta.ddot(prevDelta) < -0.01 check). Without a
-        # per-feature break, one oscillator drags the whole batch to max_iters.
-        osc = (it > 0) & (jnp.sum(step * prev_step, axis=-1) < -0.01)
-        step = jnp.where(osc[:, None], 0.5 * step, step)
-        # `it < max_iters` keeps the exact iteration cap under unrolling
-        # (sub-iterations past the cap become masked no-ops)
-        upd = solvable & ~converged & (it < max_iters)
-        new_guess = jnp.where(upd[:, None], guess + step, guess)
-        small = jnp.sum(step * step, axis=-1) < eps * eps
-        out_of_region = ~in_region(new_guess)
-        return (new_guess, converged | small | osc | out_of_region | ~solvable,
-                jnp.where(upd[:, None], step, prev_step), it + 1)
-
-    def body_unrolled(state):
-        for _ in range(LK_UNROLL):
-            state = body(state)
-        return state
-
-    def cond(state):
-        _, converged, _, it = state
-        return (it < max_iters) & ~jnp.all(converged)
-
-    converged0 = ~solvable
-    guess, _, _, _ = jax.lax.while_loop(
-        cond, body_unrolled, (guess, converged0, jnp.zeros_like(guess), 0)
+    guess, solvable, in_region = _gn_pass(
+        prev_reg, next_reg, tpl_pos, guess, active, half,
+        max_iters, eps, min_eig_threshold, next_org, m,
     )
 
     # OpenCV only kills a feature when its point leaves the image; our region
@@ -477,6 +414,52 @@ def _gn_iterate(tpl, regions_j, guess, active, half,
     return guess, solvable, in_region
 
 
+def _use_gn_kernel(n: int, r: int) -> bool:
+    import os
+
+    from stereo_vo_tpu.ops.lk_gn import _pick_block
+
+    return (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("STEREO_VO_NO_PALLAS", "0") != "1"
+        and os.environ.get("STEREO_VO_NO_LK_KERNEL", "0") != "1"
+        and _pick_block(n, r) > 0
+    )
+
+
+def _gn_pass(tpl_reg, it_reg, tpl_pos, guess, active, half,
+             max_iters, eps, min_eig_threshold, it_org, m):
+    """One template-sample + GN-iterate level pass; returns
+    ``(guess', solvable, in_region)``. Dispatches to the Pallas VMEM-resident
+    mega-kernel on TPU (ops/lk_gn.py), else the XLA formulation."""
+    win = 2 * half + 1
+    n = guess.shape[0]
+    ry, rx = it_reg.shape[-2], it_reg.shape[-1]
+    org_f = it_org.astype(guess.dtype)
+
+    if ry == rx and _use_gn_kernel(n, ry):
+        from stereo_vo_tpu.ops.lk_gn import gn_level_pass
+
+        goff = (m - half) - org_f                     # pos = guess + goff
+        new_guess, solvable = gn_level_pass(
+            tpl_reg[:, 0], it_reg[:, 0], tpl_pos, guess, goff, active,
+            win=win, max_iters=max_iters, eps=float(eps),
+            min_eig_threshold=float(min_eig_threshold))
+
+        def in_region(g):
+            pos = g + goff
+            return (
+                (pos[:, 0] >= 0) & (pos[:, 0] <= rx - win - 1)
+                & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
+            )
+
+        return new_guess, solvable, in_region
+
+    tpl = _sample_template(tpl_reg, tpl_pos, win)
+    return _gn_iterate(tpl, it_reg, guess, active, half,
+                       max_iters, eps, min_eig_threshold, it_org, m)
+
+
 def lk_track_fwdbwd(
     prev_pyr: List[jnp.ndarray],
     next_pyr: List[jnp.ndarray],
@@ -547,9 +530,8 @@ def lk_track_fwdbwd(
             cache.append((lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m))
 
         tpl_pos = pts_l - half + m - prev_org.astype(pts.dtype)
-        tpl = _sample_template(prev_reg, tpl_pos, win)
-        guess, solvable, in_region = _gn_iterate(
-            tpl, next_reg, guess, ok, half,
+        guess, solvable, in_region = _gn_pass(
+            prev_reg, next_reg, tpl_pos, guess, ok, half,
             max_iters, eps, min_eig_threshold, next_org, m,
         )
         if lvl == 0:
@@ -578,9 +560,8 @@ def lk_track_fwdbwd(
         # next region as long as the per-level motion stayed within slack;
         # an endpoint that ran out samples a zeroed patch and fails min-eig)
         tpl_pos = tracked_l - half + m - next_org.astype(pts.dtype)
-        btpl = _sample_template(next_reg, tpl_pos, win)
-        bguess, bsolv, b_in_region = _gn_iterate(
-            btpl, prev_reg, bguess, bok, half,
+        bguess, bsolv, b_in_region = _gn_pass(
+            next_reg, prev_reg, tpl_pos, bguess, bok, half,
             max_iters, eps, min_eig_threshold, prev_org, m,
         )
         if lvl == 0:
