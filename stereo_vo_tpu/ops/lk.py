@@ -415,14 +415,21 @@ def _gn_iterate(tpl, regions_j, guess, active, half,
 
 
 def _use_gn_kernel(n: int, r: int) -> bool:
+    """Dispatch gate for the Pallas VMEM-resident GN kernel (ops/lk_gn.py).
+
+    OPT-IN (``STEREO_VO_LK_KERNEL=1``) until the kernel is proven on
+    hardware: round 2 shipped it default-on untested and it crashed Mosaic
+    compilation, taking the whole TPU pipeline down (VERDICT round 2, item
+    1). Also requires a feature block size that divides N within the VMEM
+    budget. The kernel is pltpu-only — never attempt it on CPU/GPU."""
     import os
 
     from stereo_vo_tpu.ops.lk_gn import _pick_block
 
     return (
-        jax.default_backend() not in ("cpu",)
+        jax.default_backend() == "tpu"
+        and os.environ.get("STEREO_VO_LK_KERNEL", "0") == "1"
         and os.environ.get("STEREO_VO_NO_PALLAS", "0") != "1"
-        and os.environ.get("STEREO_VO_NO_LK_KERNEL", "0") != "1"
         and _pick_block(n, r) > 0
     )
 
