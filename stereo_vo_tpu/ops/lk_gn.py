@@ -55,14 +55,29 @@ def split_hi_lo(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
+def _brow(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Materialize a per-feature scalar ``[BN, 1, 1]`` as a lane row
+    ``[BN, 1, w]``. Mosaic cannot lower a broadcast that expands sublanes AND
+    lanes in one op ("Not implemented: Broadcast in both sublanes and lanes"),
+    and it constant-folds ``jnp.broadcast_to`` / multiply-by-ones back into
+    the consumer, recreating the fused broadcast. ``pltpu.repeat`` is a real
+    lowering-level op, so the row is genuinely materialized and consumers
+    broadcast sublane-only."""
+    return pltpu.repeat(x, w, 2)
+
+
 def _onehot(shift: jnp.ndarray, w: int, r: int, bn: int) -> jnp.ndarray:
     """``[BN, w, r]`` bf16 one-hot: row ``a`` selects region index ``shift+a``.
     ``shift`` is ``[BN, 1, 1]`` int32 — per-feature scalars stay rank-3
     throughout the kernel (Mosaic's layout inference crashes on the rank-1
-    vectors and tiny reshapes the natural formulation produces)."""
+    vectors and tiny reshapes the natural formulation produces). The shift
+    folds into the *lane* iota first ([BN,1,r], lane-only broadcast), then the
+    compare against the sublane iota broadcasts sublane-only — one broadcast
+    axis per op (see _brow)."""
     a = jax.lax.broadcasted_iota(jnp.int32, (bn, w, r), 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (bn, w, r), 2)
-    return (j - a == shift).astype(jnp.bfloat16)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (bn, 1, r), 2)
+    d = jr - shift                       # [BN, 1, r]
+    return (d == a).astype(jnp.bfloat16)
 
 
 _BATCH_MM = (((2,), (1,)), ((0,), (0,)))   # [BN,w,R] @ [BN,R,R] -> [BN,w,R]
@@ -100,12 +115,13 @@ def _fsample(reg_hi, reg_lo, px, py, w: int):
     fy = py - y0
     w1 = _isample(reg_hi, reg_lo, x0.astype(jnp.int32), y0.astype(jnp.int32),
                   w + 1)
-    return (
-        (1.0 - fy) * (1.0 - fx) * w1[:, :w, :w]
-        + (1.0 - fy) * fx * w1[:, :w, 1:]
-        + fy * (1.0 - fx) * w1[:, 1:, :w]
-        + fy * fx * w1[:, 1:, 1:]
-    )
+    # separable blend, one broadcast axis per op (see _brow): the y blend's
+    # coefficient row is [BN,1,w+1] broadcasting sublane-only into the
+    # (w+1)-lane slices, the x blend's is [BN,1,w]
+    fy_r = _brow(fy, w + 1)
+    wy = (1.0 - fy_r) * w1[:, :w, :] + fy_r * w1[:, 1:, :]   # [BN, w, w+1]
+    fx_r = _brow(fx, w)
+    return (1.0 - fx_r) * wy[:, :, :w] + fx_r * wy[:, :, 1:]
 
 
 def _scharr_patch(p: jnp.ndarray, w: int):
@@ -143,7 +159,12 @@ def _gn_level_kernel(
     active = vec_ref[:, 6:7, :] > 0.0
 
     def rsum(x):  # [BN, w, w] -> [BN, 1, 1]
-        return jnp.sum(x, axis=(1, 2), keepdims=True)
+        # one axis at a time: Mosaic's layout inference crashes
+        # (layout.h:320, rank-1 value vs rank-2 layout) on a fused
+        # multi-axis keepdims reduction — root cause of the round-2
+        # TPU outage, isolated by micro-bisect on hardware
+        return jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1,
+                       keepdims=True)
 
     # ---- template: (win+2) patch sampled at pos-1, in-patch Scharr gradients
     tp = _fsample(tpl_hi, tpl_lo, tpx - 1.0, tpy - 1.0, win + 2)
@@ -173,7 +194,10 @@ def _gn_level_kernel(
         return (px >= 0.0) & (px <= lim) & (py >= 0.0) & (py <= lim)
 
     def body(state):
-        gx, gy, converged, psx, psy, it = state
+        # `converged` is loop-carried as f32 0/1: an i1 vector carry fails
+        # Mosaic's scf.yield legalization (isolated by bisect on hardware)
+        gx, gy, convf, psx, psy, it = state
+        converged = convf > 0.5
         px = jnp.clip(gx + gox, 0.0, lim)
         py = jnp.clip(gy + goy, 0.0, lim)
         j_patch = _fsample(it_hi, it_lo, px, py, win)
@@ -191,7 +215,7 @@ def _gn_level_kernel(
         ngy = jnp.where(upd, gy + sy, gy)
         small = sx * sx + sy * sy < eps * eps
         conv = converged | small | osc | ~in_region(ngx, ngy) | ~solvable
-        return (ngx, ngy, conv,
+        return (ngx, ngy, conv.astype(jnp.float32),
                 jnp.where(upd, sx, psx), jnp.where(upd, sy, psy), it + 1)
 
     def body_unrolled(state):
@@ -200,29 +224,47 @@ def _gn_level_kernel(
         return state
 
     def cond(state):
-        _, _, converged, _, _, it = state
-        return (it < max_iters) & (jnp.sum(converged.astype(jnp.int32)) < bn)
+        _, _, convf, _, _, it = state
+        # staged single-axis reduction (fused multi-axis reduces crash
+        # Mosaic's layout inference, layout.h:320); [BN,1,1] -> [1,1,1]
+        nc = jnp.sum(
+            jnp.sum(jnp.sum(convf, axis=2, keepdims=True), axis=1,
+                    keepdims=True),
+            axis=0, keepdims=True)
+        return (it < max_iters) & (nc[0, 0, 0] < float(bn))
 
-    gx, gy, conv, _, _, _ = jax.lax.while_loop(
+    gx, gy, convf, _, _, _ = jax.lax.while_loop(
         cond, body_unrolled,
-        (gx0, gy0, ~solvable, jnp.zeros((bn, 1, 1), jnp.float32),
+        (gx0, gy0, (~solvable).astype(jnp.float32),
+         jnp.zeros((bn, 1, 1), jnp.float32),
          jnp.zeros((bn, 1, 1), jnp.float32), jnp.int32(0)),
     )
 
     out_ref[:, 0:1, :] = gx
     out_ref[:, 1:2, :] = gy
     out_ref[:, 2:3, :] = solvable.astype(jnp.float32)
-    out_ref[:, 3:4, :] = conv.astype(jnp.float32)
+    out_ref[:, 3:4, :] = convf
+
+
+# Kernel VMEM budget. The default scoped-vmem limit is 16 MB; we raise it via
+# CompilerParams (v5e has 128 MB VMEM) and budget against that. Measured on
+# hardware: bn=64, r=88 allocates 19.2 MB on the stack at grid=1.
+_VMEM_LIMIT = 96 * 2**20
+_VMEM_BUDGET = 80 * 2**20  # headroom under the limit for compiler spill
 
 
 def _pick_block(n: int, r: int) -> int:
     """Feature block size: large blocks amortize grid overhead, but VMEM must
-    hold 4 region blocks (bf16, lanes padded to 128) double-buffered."""
+    hold 4 region blocks (bf16, lanes padded to 128, double-buffered across
+    the grid) plus per-iteration intermediates (one-hot selectors, f32
+    windows/patches — roughly another regions-worth, measured)."""
+    lanes = (r + 127) // 128 * 128
+    sub = (r + 7) // 8 * 8
     for bn in (64, 32, 16, 8):
         if n % bn == 0:
-            # 4 arrays * 2 buffers * bn * ceil8(r) * 128 lanes * 2 bytes
-            vmem = 8 * bn * ((r + 7) // 8 * 8) * 128 * 2
-            if vmem <= 12 * 2**20:
+            regions = 4 * 2 * bn * sub * lanes * 2   # bf16, double-buffered
+            inter = 2 * bn * sub * lanes * 4          # f32 working set
+            if regions + inter <= _VMEM_BUDGET:
                 return bn
     return 0
 
@@ -278,6 +320,8 @@ def gn_level_pass(
         out_specs=pl.BlockSpec((bn, 4, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 4, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(tpl_hi, tpl_lo, it_hi, it_lo, vec)
     out = out[:, :, 0]
