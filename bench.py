@@ -62,7 +62,7 @@ def measure_tpu(cfg, frames, chunk_size, attempts=3):
     raise last_err
 
 
-def measure_cpu_twin(frames, kf_ratio, n_cpu_frames=20):
+def measure_cpu_twin_once(frames, kf_ratio, n_cpu_frames=20):
     """Per-frame cost of the reference's OpenCV frontend on this host."""
     try:
         import cv2
@@ -102,6 +102,42 @@ def measure_cpu_twin(frames, kf_ratio, n_cpu_frames=20):
         n += 1
     dt = time.perf_counter() - t0
     return n / dt
+
+
+def measure_cpu_twin(frames, kf_ratio, reps=5):
+    """Median-of-N twin fps with spread and a host-load guard.
+
+    The round-2 verdict: a single 20-frame twin run swung 30-68 f/s with host
+    load, making vs_baseline claims unfalsifiable. Report the median of
+    ``reps`` runs, the spread, and the 1-minute load average so a contended
+    measurement is visibly flagged rather than silently recorded."""
+    import os
+
+    runs = []
+    for _ in range(reps):
+        fps = measure_cpu_twin_once(frames, kf_ratio)
+        if fps is None:
+            return None
+        runs.append(fps)
+    runs.sort()
+    median = float(np.median(runs))
+    spread = (runs[-1] - runs[0]) / median if median else None
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load1 = None
+    ncpu = os.cpu_count() or 1
+    return {
+        "fps_median": round(median, 2),
+        "fps_min": round(runs[0], 2),
+        "fps_max": round(runs[-1], 2),
+        "spread_frac": round(spread, 3) if spread is not None else None,
+        "host_load1": round(load1, 2) if load1 is not None else None,
+        "contended": bool(
+            (spread is not None and spread > 0.25)
+            or (load1 is not None and load1 > 0.5 * ncpu)
+        ),
+    }
 
 
 def measure_twin_trajectory(frames, cfg):
@@ -219,13 +255,56 @@ def measure_ba_iters(attempts=2):
         cfg = BackendConfig(window_size=w, landmark_capacity=lcap, max_lm_iters=iters)
         fn = jax.jit(lambda p: lm_loop(p, cam, cfg, None)[3])
         _ = np.asarray(fn(prob))  # compile
-        reps = 5
-        t0 = _t.perf_counter()
-        for i in range(reps):
-            _ = np.asarray(fn(prob._replace(lm_pos=prob.lm_pos + i * 1e-6)))
-        dt = _t.perf_counter() - t0
-        out[tag] = round(reps * iters / dt, 1)
+        # median of independent timed groups + spread: a contended chip showed
+        # 9x phantom slowdowns in round 2 when a single group was recorded
+        groups = []
+        for g in range(3):
+            reps = 5
+            t0 = _t.perf_counter()
+            for i in range(reps):
+                _ = np.asarray(fn(prob._replace(lm_pos=prob.lm_pos + (g * reps + i) * 1e-6)))
+            dt = _t.perf_counter() - t0
+            groups.append(reps * iters / dt)
+        groups.sort()
+        med = float(np.median(groups))
+        spread = (groups[-1] - groups[0]) / med if med else 0.0
+        out[tag] = round(med, 1)
+        if spread > 0.3:
+            out[tag + "_contended"] = True
+            out[tag + "_spread"] = round(spread, 2)
     return out
+
+
+def measure_stream_device(cfg, frames, n=16):
+    """Estimated on-device per-step compute time, relay-free.
+
+    Chains ``n`` steps with the state carried device-side and NO host sync
+    until the end: dispatch pipelining hides the network relay's per-call
+    round-trip, so (wall - 1 fetch) / n approximates what an on-board host
+    would see per frame (the reference's 50 ms loop budget,
+    vo_node.cpp:139). Complements stream_ms_p50, which includes the relay."""
+    import jax
+
+    from stereo_vo_tpu.engine.step import VOEngine
+
+    engine = VOEngine(cfg, frames[0].left.shape)
+    state = engine.init_state()
+    state, _ = engine.bootstrap(
+        state, jax.numpy.asarray(frames[0].left), jax.numpy.asarray(frames[0].right)
+    )
+    devs = [jax.device_put(np.asarray(f.left)) for f in frames[1 : n + 1]]
+    devs_r = [jax.device_put(np.asarray(f.right)) for f in frames[1 : n + 1]]
+    state, out = engine.step(state, devs[0], devs_r[0])  # compile
+    np.asarray(out.summary)
+    ts = []
+    for _ in range(3):
+        s = state
+        t0 = time.perf_counter()
+        for le, ri in zip(devs, devs_r):
+            s, out = engine.step(s, le, ri)
+        np.asarray(out.summary)
+        ts.append((time.perf_counter() - t0) * 1e3 / n)
+    return round(float(np.median(ts)), 1)
 
 
 def main():
@@ -257,7 +336,8 @@ def main():
     kf = sum(1 for s in run.frame_stats if s["is_keyframe"])
     kf_ratio = kf / max(len(run.frame_stats), 1)
 
-    cpu_fps = measure_cpu_twin(frames, kf_ratio)
+    twin = measure_cpu_twin(frames, kf_ratio)
+    cpu_fps = twin["fps_median"] if twin else None
 
     # --- accuracy parity, SAME frames both sides (VERDICT r1 item 2) -------
     # Averaged over worlds: single-run keyframe-ATE is chaotic (sub-pixel
@@ -322,6 +402,12 @@ def main():
         p50 = p99 = rtt = None
 
     try:
+        dev_ms = measure_stream_device(cfg, frames)
+    except Exception as e:
+        print(f"[bench] device step time measurement failed: {e}", file=sys.stderr)
+        dev_ms = None
+
+    try:
         ba_iters = measure_ba_iters()
     except Exception as e:  # report the headline metric even if this leg fails
         print(f"[bench] ba_iters measurement failed: {e}", file=sys.stderr)
@@ -335,7 +421,11 @@ def main():
         "details": {
             "frames": len(run.poses),
             "keyframes": kf,
-            "cpu_twin_fps": round(cpu_fps, 2) if cpu_fps else None,
+            # fps depends strongly on the keyframe regime (kf frames pay
+            # PnP+StereoBM+BA); state it so rounds are comparable
+            "keyframe_ratio": round(kf_ratio, 3),
+            "cpu_twin_fps": cpu_fps,
+            "cpu_twin": twin,
             **acc,
             "stream_ms_p50": p50,
             "stream_ms_p99": p99,
@@ -343,6 +433,8 @@ def main():
             # TPUs add ~2 RTTs of pure transport per streamed frame; subtract
             # to estimate on-board latency)
             "device_rtt_ms": rtt,
+            # relay-free on-device estimate (pipelined steps, one final fetch)
+            "stream_ms_device": dev_ms,
             "ba_lm_iters_per_sec": ba_iters,
             "image": "376x1241 synthetic (kitti00 intrinsics)",
         },

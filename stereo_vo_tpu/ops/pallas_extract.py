@@ -71,7 +71,7 @@ def _band_kernel(origins_ref, stack_ref, out_ref, sems, *, r, span, wp_pad):
         issue(k).wait()
 
 
-def _extract_regions_band(stack, origins, r):
+def _extract_regions_band(stack, origins, r, interpret=False):
     """TPU fast path: band DMA + exact one-hot lane crop on the MXU."""
     n = origins.shape[0]
     c, hp, wp = stack.shape
@@ -94,6 +94,7 @@ def _extract_regions_band(stack, origins, r):
         functools.partial(_band_kernel, r=r, span=span, wp_pad=wp_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, c, r, span), stack.dtype),
+        interpret=interpret,
     )(origins, stack_p)
 
     # exact lane crop: one-hot permutation matmul (integer offsets; gathers and
@@ -137,7 +138,7 @@ def _tiled_kernel(origins_ref, tiles_ref, out_ref, sems, *, nty, ntx, tx_max):
         issue(k).wait()
 
 
-def _extract_regions_tiled(img, origins, r):
+def _extract_regions_tiled(img, origins, r, interpret=False):
     """TPU fast path for single-channel stacks: tile DMA + one-hot lane crop."""
     n = origins.shape[0]
     hp, wp = img.shape
@@ -165,6 +166,7 @@ def _extract_regions_tiled(img, origins, r):
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, nty, ntx, 8, 128), img.dtype),
+        interpret=interpret,
     )(origins, tiles)
     # [N, nty, ntx, 8, 128] -> [N, r, span]
     bands = bands.transpose(0, 1, 3, 2, 4).reshape(n, r, span)
@@ -194,7 +196,7 @@ def _vmem_kernel(origins_ref, img_ref, out_ref, *, r, span, wp_pad):
         out_ref[k] = img_ref[pl.ds(oy, r), pl.ds(bx, span)]
 
 
-def _extract_regions_vmem(img, origins, r):
+def _extract_regions_vmem(img, origins, r, interpret=False):
     """TPU fast path for single-channel stacks: VMEM-resident image + aligned
     vector-copy extraction + one-hot lane crop."""
     n = origins.shape[0]
@@ -223,6 +225,7 @@ def _extract_regions_vmem(img, origins, r):
         functools.partial(_vmem_kernel, r=r, span=span, wp_pad=wp_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, r, span), img.dtype),
+        interpret=interpret,
     )(origins, img_p)
 
     band_start = jnp.clip(origins[:, 0] // 128, 0, wp_pad // 128 - span // 128) * 128

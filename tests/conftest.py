@@ -25,3 +25,49 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow tiers. `pytest -m "not slow"` is the fast tier (~2-3 min) used by
+# the pre-snapshot smoke gate; the full suite (~9 min) is CI's job. Central
+# list instead of per-file decorators so the tier's contents are auditable in
+# one place (durations from `pytest --durations`).
+# ---------------------------------------------------------------------------
+_SLOW = {
+    ("test_engine.py", "test_chunked_replay_matches_streaming"),
+    ("test_engine.py", "test_checkpoint_resume_bitwise"),
+    ("test_engine.py", "test_pipeline_tracks_trajectory"),
+    ("test_real_fixtures.py", "test_full_pipeline_on_real_fixtures"),
+    ("test_parallel.py", "test_dp_sharded_batch"),
+    ("test_parallel.py", "test_sharded_equals_single_device"),
+    ("test_parallel.py", "test_sharded_converges_to_gt"),
+    ("test_schur.py", "test_schur_step_equals_dense_normal_equations"),
+    ("test_schur.py", "test_condition_probe_and_precision_islands"),
+    ("test_frontend.py", "test_with_outliers"),
+    ("test_frontend.py", "test_track_and_stats"),
+    ("test_ops.py", "test_lk_large_motion_uses_pyramid"),
+    ("test_ops.py", "test_lk_tracks_synthetic_world"),
+    ("test_residuals.py", "test_jacobians_match_autodiff"),
+    ("test_lk_fast_motion.py", "test_fast_motion_parity"),
+    ("test_engine.py", "test_keyframes_and_tracking_health"),
+    ("test_frontend.py", "test_warm_start_dominates_when_good"),
+    ("test_real_fixtures.py", "test_lk_parity_on_real_imagery"),
+    ("test_frontend.py", "test_fb_gate_kills_occluded"),
+    ("test_real_fixtures.py", "test_stereo_bm_on_real_imagery"),
+    ("test_schur.py", "test_invalid_window_is_noop"),
+    ("test_residuals.py", "test_jacobians_match_finite_differences"),
+    ("test_frontend.py", "test_deterministic"),
+    ("test_frontend.py", "test_exact_correspondences"),
+    ("test_schur.py", "test_noisy_problem_reduces_cost_monotonically"),
+    ("test_frontend.py", "test_degenerate_too_few_points"),
+    ("test_real_fixtures.py", "test_detection_on_real_imagery"),
+    ("test_schur.py", "test_big_window_converges_to_ground_truth"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.path.name
+        name = item.name.split("[")[0]
+        if (base, name) in _SLOW:
+            item.add_marker(pytest.mark.slow)
