@@ -105,6 +105,10 @@ class BackendConfig:
     # reference's monocular-factor BA leaves free (deliberate accuracy fix;
     # set sigma <= 0 to disable and match reference behavior exactly).
     stereo_prior_sigma_px: float = 1.0
+    # Re-anchor tracked landmarks' stereo priors at each keyframe from fresh
+    # disparity at their tracked pixel (uses the CURRENT pose estimate, so it
+    # can feed pose error back into the map — ablatable for drift studies).
+    stereo_prior_refresh: bool = True
     # Huber robust loss on reprojection residuals (pixels). Block-matching
     # disparity has a heavy garbage tail (ambiguous matches yield landmarks at
     # wildly wrong depth); a quadratic loss lets a handful of them steer the

@@ -333,6 +333,8 @@ class VOEngine:
         z_trk = geo.pose_apply(pose[None, :], p3_trk)[:, 2]
         consistent = (w_old <= 0) | (dist < 0.25 * jnp.maximum(z_trk, 1.0))
         w_trk = jnp.where(consistent, prior_weight(p3_trk, trk_ok), 0.0)
+        if not cfg.backend.stereo_prior_refresh:
+            w_trk = jnp.zeros_like(w_trk)
 
         window, new_ids, new_ids_valid = add_keyframe(
             window, cfg.backend, pose,

@@ -246,11 +246,17 @@ def _dlt_pose(p3: jnp.ndarray, xn: jnp.ndarray):
 
     def fix(mm):
         r_tilde = mm[:, :3]
+        # _polar_so3's scale IS the signed mean singular value of r_tilde
+        # (trace(R^T A)/3 = lambda for A = lambda R) — dividing by anything
+        # more (a former extra *sqrt(sum(r_tilde^2)/3) factor) divides t by
+        # lambda^2 and inflated every DLT translation ~1/lambda (~80x at
+        # KITTI scale), silently zeroing RANSAC hypothesis inlier counts.
         r, scale = _polar_so3(r_tilde)
-        # scale carries the det sign; flip r to proper rotation if needed
+        # flip r to a proper rotation; the scale relative to the flipped r
+        # flips with it
         flip = jnp.sign(jnp.linalg.det(r))
         r = r * flip
-        scale = scale * flip * jnp.sqrt(jnp.sum(r_tilde * r_tilde) / 3.0)
+        scale = scale * flip
         t = mm[:, 3] / jnp.where(jnp.abs(scale) > 1e-12, scale, 1e-12)
         z = (p3 @ r.T + t)[:, 2]
         return r, t, jnp.sum(z > 0), jnp.abs(scale) > 1e-9
