@@ -62,6 +62,7 @@ _SLOW = {
     ("test_frontend.py", "test_degenerate_too_few_points"),
     ("test_real_fixtures.py", "test_detection_on_real_imagery"),
     ("test_schur.py", "test_big_window_converges_to_ground_truth"),
+    ("test_long_sequence.py", "test_long_sequence_drift_vs_twin"),
 }
 
 
