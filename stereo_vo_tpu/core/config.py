@@ -59,13 +59,19 @@ class FrontendConfig:
     pnp_reproj_thresh: float = 8.0
     pnp_confidence: float = 0.99
     # Backward-verification pyramid depth: number of finest levels the
-    # round-trip check walks. 0 (default) = all levels, OpenCV's exact
-    # coarse-to-fine semantics (feature_tracker.cpp:31-47). Truncated passes
-    # trade trajectory accuracy for speed (129-frame 3-seed means on the
-    # bench world: full 0.37 m keyframe-ATE @ 96 f/s; 2 levels 0.52 @ 118;
-    # 1 level 0.75 @ 139) — a permissive round-trip admits scale-sliding
-    # features whose positions are poor. Accuracy-first default: full.
-    lk_bwd_levels: int = 0
+    # round-trip check walks. 0 = all levels, OpenCV's exact coarse-to-fine
+    # semantics initialized at the forward endpoint (feature_tracker.cpp:31-47).
+    # A truncated pass (1..n_levels-1) instead initializes at the ORIGINAL
+    # point — a stricter verification that must re-find the start, not merely
+    # round-trip — and skips the costliest (coarsest) backward passes.
+    # Measured (160-frame photo-textured sequences, 10 seeds, post-DLT-fix):
+    # 2 levels cuts mean ATE 3.28 -> 2.49 m and the worst seed 6.05 -> 3.92
+    # (it kills scale-sliding features that full-depth verification passes)
+    # while cutting LK 4.4 -> 3.1 ms/frame. On the featureless-billboard bench
+    # world it costs ~10% all-frames ATE (1.09 -> 1.20 vs twin 0.97) — natural
+    # imagery is the regime that matters. 1 level is too permissive (verifies
+    # position only where appearance barely constrains scale): worst seed 1.8x.
+    lk_bwd_levels: int = 2
     pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
     pnp_refine_iters: int = 10     # GN refinement on inliers
 
@@ -84,8 +90,12 @@ class BackendConfig:
     feature_capacity: int = 448
     landmark_capacity: int = 2048  # static landmark-table capacity (>= window*max_features)
     # Ceres budget is 0.1 s wall-clock (bundle_adjuster.cpp:11); on TPU the solve is
-    # a fixed iteration count tuned to land at equivalent accuracy.
-    max_lm_iters: int = 12
+    # a fixed iteration count tuned to land at equivalent accuracy. Solve time
+    # is linear in this cap (the rel-tol exits rarely fire: late accepted steps
+    # still improve ~0.1-1% each). 10 measured best on 160-frame photo-textured
+    # sequences (10-seed mean ATE: 10 iters 2.37 m, 12 iters 2.49, 8 iters 2.83
+    # with a 6.1 m worst seed) at ~5 ms/keyframe; 12 -> 10 saves ~1 ms.
+    max_lm_iters: int = 10
     # LM early-exit: stop after an accepted step improving cost by less than
     # this fraction (the jit analog of Ceres' function_tolerance; Ceres default
     # 1e-6 with a 0.1 s wall budget, bundle_adjuster.cpp:9-11)
