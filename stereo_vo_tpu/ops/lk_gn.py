@@ -259,11 +259,12 @@ def _pick_block(n: int, r: int) -> int:
     the grid) plus per-iteration intermediates (one-hot selectors, f32
     windows/patches — roughly another regions-worth, measured)."""
     lanes = (r + 127) // 128 * 128
-    sub = (r + 7) // 8 * 8
+    sub16 = (r + 15) // 16 * 16   # bf16 tiles are (16, 128): sublanes pad to 16
+    sub8 = (r + 7) // 8 * 8       # f32 tiles are (8, 128)
     for bn in (64, 32, 16, 8):
         if n % bn == 0:
-            regions = 4 * 2 * bn * sub * lanes * 2   # bf16, double-buffered
-            inter = 2 * bn * sub * lanes * 4          # f32 working set
+            regions = 4 * 2 * bn * sub16 * lanes * 2  # bf16, double-buffered
+            inter = 2 * bn * sub8 * lanes * 4         # f32 working set
             if regions + inter <= _VMEM_BUDGET:
                 return bn
     return 0
