@@ -112,6 +112,23 @@ def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
     return jnp.where(d == idx, 1.0 - frac, 0.0) + jnp.where(d == idx + 1, frac, 0.0)
 
 
+# MXU precision of the two sampling einsums. DEFAULT = one bf16 pass; HIGH =
+# 3-pass bf16 decomposition recovering ~f32. With per-feature region centering
+# (see _center_regions) DEFAULT measured equivalent end-to-end ON TPU —
+# per-frame position parity vs HIGH: median 0.001 px / p99 0.017 px; ATE over
+# 3 bench-world + 2 photo-world 129-frame replays within cascade noise (photo
+# seeds improved) — while HIGH cost 26% of LK wall time (3.13 -> 2.31
+# ms/frame). Escape hatch kept because the bf16 risk was real before
+# centering: STEREO_VO_LK_HIGH_PRECISION=1 restores HIGH.
+import os as _os
+
+LK_SAMPLE_PRECISION = (
+    jax.lax.Precision.HIGH
+    if _os.environ.get("STEREO_VO_LK_HIGH_PRECISION", "0") == "1"
+    else jax.lax.Precision.DEFAULT
+)
+
+
 def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
     """Sample ``[N, C, win, win]`` windows from ``[N, C, RY, RX]`` regions at
     continuous region coordinates ``pos [N, 2]`` (x, y of window top-left)."""
@@ -124,10 +141,10 @@ def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
     colsel = _soft_selector(x0.astype(jnp.int32), fx, win, rx)  # [N, w, RX]
     tmp = jnp.einsum("nar,ncrs->ncas", rowsel, regions,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGH)
+                     precision=LK_SAMPLE_PRECISION)
     return jnp.einsum("ncas,nbs->ncab", tmp, colsel,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGH)
+                      precision=LK_SAMPLE_PRECISION)
 
 
 def _center_regions(prev_reg: jnp.ndarray, next_reg: jnp.ndarray):
