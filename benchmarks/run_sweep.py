@@ -18,6 +18,10 @@ import os
 import sys
 import time
 
+# invoked as `python benchmarks/run_sweep.py`, sys.path gets benchmarks/,
+# not the repo root where the package lives
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 KITTI_SEQUENCES = ["00", "03", "08", "09", "10", "13"]
