@@ -21,9 +21,9 @@ def main() -> int:
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from stereo_vo_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     backend = jax.default_backend()
 

@@ -63,12 +63,36 @@ _SLOW = {
     ("test_real_fixtures.py", "test_detection_on_real_imagery"),
     ("test_schur.py", "test_big_window_converges_to_ground_truth"),
     ("test_long_sequence.py", "test_long_sequence_drift_vs_twin"),
+    ("test_engine.py", "test_preload_survives_late_bootstrap"),
+    ("test_run_sweep.py", "test_run_one_synthetic_world"),
+    ("test_stream.py", "test_live_stream_through_run_vo"),
+    ("test_stream.py", "test_live_stream_paced_soak_queue_bounded"),
 }
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
+    files_collected = set()
     for item in items:
         base = item.path.name
         name = item.name.split("[")[0]
+        files_collected.add(base)
         if (base, name) in _SLOW:
             item.add_marker(pytest.mark.slow)
+            seen.add((base, name))
+    # Stale-entry guard (ADVICE r3): a renamed/removed test must not leave a
+    # silent _SLOW entry. Only enforced for files that were actually collected
+    # in full — skipped when a -k filter or a ::nodeid selection hides tests.
+    narrowed = config.getoption("keyword") or any(
+        "::" in a for a in config.getoption("file_or_dir", default=[])
+    )
+    if not narrowed:
+        stale = {
+            (f, n) for (f, n) in _SLOW
+            if f in files_collected and (f, n) not in seen
+        }
+        if stale:
+            raise pytest.UsageError(
+                "conftest._SLOW has entries matching no collected test "
+                f"(renamed/removed?): {sorted(stale)}"
+            )
