@@ -119,14 +119,18 @@ def _soft_selector(idx: jnp.ndarray, frac: jnp.ndarray, win: int, r_size: int):
 # 3 bench-world + 2 photo-world 129-frame replays within cascade noise (photo
 # seeds improved) — while HIGH cost 26% of LK wall time (3.13 -> 2.31
 # ms/frame). Escape hatch kept because the bf16 risk was real before
-# centering: STEREO_VO_LK_HIGH_PRECISION=1 restores HIGH.
+# centering: STEREO_VO_LK_HIGH_PRECISION=1 restores HIGH. Read at trace time
+# (not import time) so setting the env var after import works like the other
+# STEREO_VO_* gates (ADVICE r3).
 import os as _os
 
-LK_SAMPLE_PRECISION = (
-    jax.lax.Precision.HIGH
-    if _os.environ.get("STEREO_VO_LK_HIGH_PRECISION", "0") == "1"
-    else jax.lax.Precision.DEFAULT
-)
+
+def _sample_precision():
+    return (
+        jax.lax.Precision.HIGH
+        if _os.environ.get("STEREO_VO_LK_HIGH_PRECISION", "0") == "1"
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
@@ -139,12 +143,13 @@ def _sample(regions: jnp.ndarray, pos: jnp.ndarray, win: int):
     fy = pos[:, 1] - y0
     rowsel = _soft_selector(y0.astype(jnp.int32), fy, win, ry)  # [N, w, RY]
     colsel = _soft_selector(x0.astype(jnp.int32), fx, win, rx)  # [N, w, RX]
+    prec = _sample_precision()
     tmp = jnp.einsum("nar,ncrs->ncas", rowsel, regions,
                      preferred_element_type=jnp.float32,
-                     precision=LK_SAMPLE_PRECISION)
+                     precision=prec)
     return jnp.einsum("ncas,nbs->ncab", tmp, colsel,
                       preferred_element_type=jnp.float32,
-                      precision=LK_SAMPLE_PRECISION)
+                      precision=prec)
 
 
 def _center_regions(prev_reg: jnp.ndarray, next_reg: jnp.ndarray):
@@ -431,54 +436,22 @@ def _gn_iterate(tpl, regions_j, guess, active, half,
     return guess, solvable, in_region
 
 
-def _use_gn_kernel(n: int, r: int) -> bool:
-    """Dispatch gate for the Pallas VMEM-resident GN kernel (ops/lk_gn.py).
-
-    OPT-IN (``STEREO_VO_LK_KERNEL=1``) until the kernel is proven on
-    hardware: round 2 shipped it default-on untested and it crashed Mosaic
-    compilation, taking the whole TPU pipeline down (VERDICT round 2, item
-    1). Also requires a feature block size that divides N within the VMEM
-    budget. The kernel is pltpu-only — never attempt it on CPU/GPU."""
-    import os
-
-    from stereo_vo_tpu.ops.lk_gn import _pick_block
-
-    return (
-        jax.default_backend() == "tpu"
-        and os.environ.get("STEREO_VO_LK_KERNEL", "0") == "1"
-        and os.environ.get("STEREO_VO_NO_PALLAS", "0") != "1"
-        and _pick_block(n, r) > 0
-    )
-
-
 def _gn_pass(tpl_reg, it_reg, tpl_pos, guess, active, half,
              max_iters, eps, min_eig_threshold, it_org, m):
     """One template-sample + GN-iterate level pass; returns
-    ``(guess', solvable, in_region)``. Dispatches to the Pallas VMEM-resident
-    mega-kernel on TPU (ops/lk_gn.py), else the XLA formulation."""
+    ``(guess', solvable, in_region)``.
+
+    This XLA formulation is the production path. A Pallas VMEM-resident
+    mega-kernel (ops/lk_gn.py, rounds 2-3) was profiled on the real v5e and
+    measured 1.7x SLOWER end-to-end (8.2 vs 4.7 ms scan-amortized): its inner
+    GN loop was latency-bound on batched small MXU matmuls (per-feature
+    [22,88]@[88,88] one-hot selects in the dot batch dim, x4 for the hi/lo
+    precision passes), VMEM residency of the regions bought nothing because
+    the XLA path's HBM re-reads were only ~0.9 ms of the 4.7, and every block
+    ran its worst feature's iteration count with no straggler compaction.
+    The loss is structural, not a tiling bug, so the kernel was deleted
+    (round-4 consolidation; see NOTES.md round-4 ledger)."""
     win = 2 * half + 1
-    n = guess.shape[0]
-    ry, rx = it_reg.shape[-2], it_reg.shape[-1]
-    org_f = it_org.astype(guess.dtype)
-
-    if ry == rx and _use_gn_kernel(n, ry):
-        from stereo_vo_tpu.ops.lk_gn import gn_level_pass
-
-        goff = (m - half) - org_f                     # pos = guess + goff
-        new_guess, solvable = gn_level_pass(
-            tpl_reg[:, 0], it_reg[:, 0], tpl_pos, guess, goff, active,
-            win=win, max_iters=max_iters, eps=float(eps),
-            min_eig_threshold=float(min_eig_threshold))
-
-        def in_region(g):
-            pos = g + goff
-            return (
-                (pos[:, 0] >= 0) & (pos[:, 0] <= rx - win - 1)
-                & (pos[:, 1] >= 0) & (pos[:, 1] <= ry - win - 1)
-            )
-
-        return new_guess, solvable, in_region
-
     tpl = _sample_template(tpl_reg, tpl_pos, win)
     return _gn_iterate(tpl, it_reg, guess, active, half,
                        max_iters, eps, min_eig_threshold, it_org, m)

@@ -7,16 +7,21 @@ of VO frame time), so the TPU path implements it with per-feature DMA.
 
 Mosaic constrains HBM slices: sublane (second-minor) offsets must be multiples
 of 8, lane (minor) offsets AND sizes multiples of 128 — arbitrary per-feature
-x-origins violate the lane rule. The production path therefore DMAs an
-8-aligned row slice x 128-aligned 256-wide lane BAND per feature (legal, ~2x
-data waste) and crops the lanes afterwards with one exact one-hot permutation
+x-origins violate the lane rule. The production paths therefore move an
+8-aligned row slice x 128-aligned lane BAND per feature (legal, ~2x data
+waste) and crop the lanes afterwards with one exact one-hot permutation
 matmul on the MXU (per-feature dynamic crops would serialize again). Callers
 must pass origins pre-aligned down to multiples of 8 in both axes, with
 regions sized ``win + 2*slack + 9`` rounded up so the residual stays inside.
 
-A fully-in-kernel variant (transposed stack + in-kernel transpose + sublane
-crop) was measured 4x slower than even the XLA fallback — in-kernel transposes
-dominate — and was removed; see NOTES.md.
+Two variants, dispatched on image size (both production defaults on TPU):
+``_extract_regions_vmem`` keeps the whole image VMEM-resident and copies with
+aligned vector moves (no DMA descriptor cost; wins when the image fits), and
+``_extract_regions_tiled`` DMAs whole (8, 128) tiles from a retiled copy.
+Removed after measurement (NOTES.md): a fully-in-kernel transpose variant (4x
+slower than the XLA fallback) and a multi-channel band-DMA variant (round 4:
+no remaining caller — LK regions are all 1-channel since the in-patch Scharr
+identity landed).
 
 Off-TPU (CPU tests) falls back to the vmapped ``dynamic_slice`` formulation.
 """
@@ -47,70 +52,6 @@ def _extract_regions_vmap(stack, origins, ry, rx):
     return jax.vmap(
         lambda oy, ox: jax.lax.dynamic_slice(stack, (0, oy, ox), (c, ry, rx))
     )(origins[:, 1], origins[:, 0])
-
-
-def _band_kernel(origins_ref, stack_ref, out_ref, sems, *, r, span, wp_pad):
-    """Per-feature DMA of an 8-aligned row slice x 128-aligned lane band,
-    straight into the output block (no compute — crop happens in XLA)."""
-    i = pl.program_id(0)
-
-    def issue(k):
-        n = i * _FB + k
-        oy = pl.multiple_of(origins_ref[n, 1], 8)
-        band = jnp.minimum((origins_ref[n, 0] // 128) * 128, wp_pad - span)
-        band = pl.multiple_of(jnp.maximum(band, 0), 128)
-        return pltpu.make_async_copy(
-            stack_ref.at[:, pl.ds(oy, r), pl.ds(band, span)],
-            out_ref.at[k],
-            sems.at[k],
-        )
-
-    for k in range(_FB):
-        issue(k).start()
-    for k in range(_FB):
-        issue(k).wait()
-
-
-def _extract_regions_band(stack, origins, r, interpret=False):
-    """TPU fast path: band DMA + exact one-hot lane crop on the MXU."""
-    n = origins.shape[0]
-    c, hp, wp = stack.shape
-    wp_pad = max(_cdiv(wp, 128) * 128, 128)
-    span = min(wp_pad, _cdiv(128 + r, 128) * 128)
-    stack_p = jnp.pad(stack, ((0, 0), (0, 0), (0, wp_pad - wp)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // _FB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (_FB, c, r, span),
-            lambda i, origins: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_FB,))],
-    )
-    bands = pl.pallas_call(
-        functools.partial(_band_kernel, r=r, span=span, wp_pad=wp_pad),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, c, r, span), stack.dtype),
-        interpret=interpret,
-    )(origins, stack_p)
-
-    # exact lane crop: one-hot permutation matmul (integer offsets; gathers and
-    # per-feature dynamic slices would serialize)
-    band_start = jnp.minimum((origins[:, 0] // 128) * 128, wp_pad - span)
-    band_start = jnp.maximum(band_start, 0)
-    off = origins[:, 0] - band_start                            # [N]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 1)
-    onehot = (s_idx[None] == off[:, None, None] + j_idx[None]).astype(stack.dtype)
-    # Default (single-pass bf16) precision: uint8-derived image intensities
-    # (<= 255) are exactly representable in bf16, and every downstream LK
-    # sampling matmul runs at default precision anyway, so a higher-precision
-    # (multi-pass) permutation here would cost 3-6x for no end-to-end gain.
-    return jnp.einsum("ncrs,nsj->ncrj", bands, onehot,
-                      preferred_element_type=jnp.float32)
 
 
 def _tiled_kernel(origins_ref, tiles_ref, out_ref, sems, *, nty, ntx, tx_max):
@@ -251,12 +192,11 @@ def extract_regions(stack: jnp.ndarray, origins: jnp.ndarray, ry: int, rx: int):
         and n % _FB == 0
         and ry == rx
         and ry % 8 == 0
+        and c == 1
     )
-    if use_pallas and c == 1:
+    if use_pallas:
         # image must fit in VMEM next to double-buffered output blocks
         if (hp + 7) // 8 * 8 * max((wp + 127) // 128 * 128, 128) * 4 <= 6 * 2**20:
             return _extract_regions_vmem(stack[0], origins, ry)
         return _extract_regions_tiled(stack[0], origins, ry)
-    if use_pallas:
-        return _extract_regions_band(stack, origins, ry)
     return _extract_regions_vmap(stack, origins, ry, rx)

@@ -13,7 +13,6 @@ import pytest
 
 from stereo_vo_tpu.ops.pallas_extract import (
     _FB,
-    _extract_regions_band,
     _extract_regions_tiled,
     _extract_regions_vmem,
     _extract_regions_vmap,
@@ -44,13 +43,5 @@ def test_tiled_variant_parity(rng):
     hp, wp, r = 384, 1256, 88
     stack, origins = _inputs(rng, _FB, 1, hp, wp, r)
     got = _extract_regions_tiled(stack[0], origins, r, interpret=True)
-    want = _extract_regions_vmap(stack, origins, r, r)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
-
-
-def test_band_variant_parity(rng):
-    hp, wp, r = 192, 640, 48
-    stack, origins = _inputs(rng, _FB, 3, hp, wp, r)
-    got = _extract_regions_band(stack, origins, r, interpret=True)
     want = _extract_regions_vmap(stack, origins, r, r)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
