@@ -42,11 +42,9 @@ def build_world(n_frames):
 
 
 def measure_tpu(cfg, frames, chunk_size, attempts=3):
-    import jax
+    from stereo_vo_tpu.utils.cache import setup_compilation_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    setup_compilation_cache()
 
     from stereo_vo_tpu.engine.driver import run_vo
 
@@ -81,6 +79,11 @@ def measure_cpu_twin_once(frames, kf_ratio, n_cpu_frames=20):
     img_pts = (obj[:, :2] / obj[:, 2:3]) * 718.856 + np.array([607.19, 185.22])
     img_pts = (img_pts + rng.normal(size=img_pts.shape)).astype(np.float64)
 
+    # the reference's EXPLICIT LK arguments (feature_tracker.cpp:23-26):
+    # TermCriteria(COUNT+EPS, 30, 0.01) and minEigThreshold=1e-2 (OpenCV's
+    # default is 1e-4 — omitting it kept weak features the reference kills,
+    # skewing both speed and trajectory parity; VERDICT r3 weak #3)
+    crit = (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 30, 0.01)
     t0 = time.perf_counter()
     n = 0
     for f in frames[1:]:
@@ -89,8 +92,11 @@ def measure_cpu_twin_once(frames, kf_ratio, n_cpu_frames=20):
         pts = cv2.goodFeaturesToTrack(cur, 300, 0.1, 30)
         if prev_pts is not None and len(prev_pts):
             fwd, st1, _ = cv2.calcOpticalFlowPyrLK(
-                prev, cur, prev_pts, None, winSize=(21, 21), maxLevel=3)
-            cv2.calcOpticalFlowPyrLK(cur, prev, fwd, None, winSize=(21, 21), maxLevel=3)
+                prev, cur, prev_pts, None, winSize=(21, 21), maxLevel=3,
+                criteria=crit, minEigThreshold=1e-2)
+            cv2.calcOpticalFlowPyrLK(cur, prev, fwd, None, winSize=(21, 21),
+                                     maxLevel=3, criteria=crit,
+                                     minEigThreshold=1e-2)
         # keyframe work at the measured cadence (StereoBM + PnP;
         # image_processor.cpp:76-80,173-176)
         if (n * kf_ratio) % 1.0 + kf_ratio >= 1.0:
@@ -211,11 +217,16 @@ def measure_stream_latency(cfg, frames, n=32):
     return round(float(np.percentile(lat, 50)), 1), round(float(np.percentile(lat, 99)), 1)
 
 
-def measure_ba_iters(attempts=2):
+def measure_ba_iters(attempts=3):
     """LM iterations/s of the Schur solver on a large window (BASELINE.md
     "BA iterations/s" target). Uses a reference-sized problem (5 poses x 2048
     landmark slots, ~400 obs/pose) and a scaled one (32 poses x 16384 slots)
-    to show the landmark-parallel scaling axis."""
+    to show the landmark-parallel scaling axis.
+
+    Contention discipline (VERDICT r3 weak #2 / item 3): each shape retries up
+    to ``attempts`` times until the timing-group spread clears 0.2, records the
+    spread always, and flags ``contended`` only if no attempt cleared — round 3
+    shipped a self-flagged contended number as the round's record."""
     import time as _t
 
     import jax
@@ -257,21 +268,31 @@ def measure_ba_iters(attempts=2):
         _ = np.asarray(fn(prob))  # compile
         # median of independent timed groups + spread: a contended chip showed
         # 9x phantom slowdowns in round 2 when a single group was recorded
-        groups = []
-        for g in range(3):
-            reps = 5
-            t0 = _t.perf_counter()
-            for i in range(reps):
-                _ = np.asarray(fn(prob._replace(lm_pos=prob.lm_pos + (g * reps + i) * 1e-6)))
-            dt = _t.perf_counter() - t0
-            groups.append(reps * iters / dt)
-        groups.sort()
-        med = float(np.median(groups))
-        spread = (groups[-1] - groups[0]) / med if med else 0.0
+        best = None
+        for attempt in range(attempts):
+            groups = []
+            for g in range(3):
+                reps = 5
+                t0 = _t.perf_counter()
+                for i in range(reps):
+                    _ = np.asarray(
+                        fn(prob._replace(lm_pos=prob.lm_pos + (g * reps + i) * 1e-6))
+                    )
+                dt = _t.perf_counter() - t0
+                groups.append(reps * iters / dt)
+            groups.sort()
+            med = float(np.median(groups))
+            spread = (groups[-1] - groups[0]) / med if med else 0.0
+            if best is None or spread < best[1]:
+                best = (med, spread)
+            if spread <= 0.2:
+                break
+            time.sleep(2.0)  # let a transient host/relay disturbance pass
+        med, spread = best
         out[tag] = round(med, 1)
+        out[tag + "_spread"] = round(spread, 2)
         if spread > 0.3:
             out[tag + "_contended"] = True
-            out[tag + "_spread"] = round(spread, 2)
     return out
 
 
@@ -335,6 +356,14 @@ def main():
     tpu_fps = run.frames_per_sec
     kf = sum(1 for s in run.frame_stats if s["is_keyframe"])
     kf_ratio = kf / max(len(run.frame_stats), 1)
+
+    # BA leg FIRST, before any OpenCV CPU sweep warms host threads/caches —
+    # round 3's record shipped contended (VERDICT r3 item 3)
+    try:
+        ba_iters = measure_ba_iters()
+    except Exception as e:  # report the headline metric even if this leg fails
+        print(f"[bench] ba_iters measurement failed: {e}", file=sys.stderr)
+        ba_iters = None
 
     twin = measure_cpu_twin(frames, kf_ratio)
     cpu_fps = twin["fps_median"] if twin else None
@@ -406,12 +435,6 @@ def main():
     except Exception as e:
         print(f"[bench] device step time measurement failed: {e}", file=sys.stderr)
         dev_ms = None
-
-    try:
-        ba_iters = measure_ba_iters()
-    except Exception as e:  # report the headline metric even if this leg fails
-        print(f"[bench] ba_iters measurement failed: {e}", file=sys.stderr)
-        ba_iters = None
 
     result = {
         "metric": "vo_frames_per_sec_1chip",
