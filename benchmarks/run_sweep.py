@@ -80,11 +80,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    import jax
+    from stereo_vo_tpu.utils.cache import setup_compilation_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    setup_compilation_cache()
 
     from stereo_vo_tpu.core.config import load_config
 
