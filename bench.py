@@ -29,14 +29,14 @@ import time
 import numpy as np
 
 
-def build_world(n_frames):
+def build_world(n_frames, seed=0, texture=None):
     from stereo_vo_tpu.core.config import load_config
     from stereo_vo_tpu.data.synthetic import SyntheticStereoSequence
 
     cfg = load_config("kitti00")
     world = SyntheticStereoSequence(
         cam=cfg.camera, n_frames=n_frames, shape=(376, 1241), n_points=4000,
-        seed=0, speed=0.8, yaw_rate=0.003,
+        seed=seed, speed=0.8, yaw_rate=0.003, texture=texture,
     )
     return cfg, world
 
@@ -369,59 +369,73 @@ def main():
     cpu_fps = twin["fps_median"] if twin else None
 
     # --- accuracy parity, SAME frames both sides (VERDICT r1 item 2) -------
-    # Averaged over worlds: single-run keyframe-ATE is chaotic (sub-pixel
+    # Averaged over seeds: single-run keyframe-ATE is chaotic (sub-pixel
     # perturbations flip 129-frame trajectories between ~0.5 m and ~1.1 m
     # basins — measured across equal-quality builds), so parity is judged on
-    # a multi-seed mean, never one draw.
+    # a multi-seed mean, never one draw. Two worlds (VERDICT r3 item 2): the
+    # billboard world (band-limited-noise texture, the fps world) AND the
+    # photo-textured world (natural image statistics — the regime the
+    # pipeline defaults are tuned for; the representative accuracy number).
     acc_seeds = [0] if args.quick else [0, 1, 2]
-    ours_kf, ours_kfa, ours_all = [], [], []
-    twin_kfm, twin_kfa, twin_all = [], [], []
-    for seed in acc_seeds:
-        if seed == 0:
-            w_s, frames_s, run_s = world, frames, run
-        else:
-            from stereo_vo_tpu.data.synthetic import SyntheticStereoSequence
 
-            w_s = SyntheticStereoSequence(
-                cam=cfg.camera, n_frames=n_frames, shape=(376, 1241),
-                n_points=4000, seed=seed, speed=0.8, yaw_rate=0.003,
+    def accuracy_for_world(texture, reuse_seed0=None):
+        ours_kf, ours_kfa, ours_all = [], [], []
+        twin_kfm, twin_kfa, twin_all = [], [], []
+        for seed in acc_seeds:
+            if seed == 0 and reuse_seed0 is not None:
+                w_s, frames_s, run_s = reuse_seed0
+            else:
+                _, w_s = build_world(n_frames, seed=seed, texture=texture)
+                frames_s = list(w_s)
+                run_s = measure_tpu(cfg, frames_s, args.chunk)
+            gt_s = w_s.gt_poses[: len(run_s.poses)]
+            kf_s = np.array([s["is_keyframe"] for s in run_s.frame_stats])
+            ours_kf.append(ate_pair(run_s.poses, gt_s, kf_s))
+            ours_kfa.append(ate_pair(run_s.poses, gt_s, kf_s, align=True))
+            ours_all.append(ate_pair(run_s.poses, gt_s))
+            tp, ts = measure_twin_trajectory(frames_s, cfg)
+            if tp is not None:
+                tp = tp[: len(gt_s)]
+                tm = np.array([s["is_keyframe"] for s in ts])[: len(tp)]
+                twin_kfm.append(ate_pair(tp, gt_s[: len(tp)], tm))
+                twin_kfa.append(ate_pair(tp, gt_s[: len(tp)], tm, align=True))
+                twin_all.append(ate_pair(tp, gt_s[: len(tp)]))
+
+        def mean(xs):
+            xs = [x for x in xs if x is not None]
+            return round(float(np.mean(xs)), 3) if xs else None
+
+        acc = {
+            "ate_keyframes_m": mean(ours_kf),
+            "ate_keyframes_aligned_m": mean(ours_kfa),
+            "ate_all_m": mean(ours_all),
+            "ate_seeds": acc_seeds,
+            "ate_keyframes_per_seed": ours_kf,
+            "ate_all_per_seed": ours_all,
+        }
+        if twin_all:
+            acc.update(
+                twin_ate_keyframes_m=mean(twin_kfm),
+                twin_ate_keyframes_aligned_m=mean(twin_kfa),
+                twin_ate_all_m=mean(twin_all),
+                twin_ate_all_per_seed=twin_all,
             )
-            frames_s = list(w_s)
-            run_s = measure_tpu(cfg, frames_s, args.chunk)
-        gt_s = w_s.gt_poses[: len(run_s.poses)]
-        kf_s = np.array([s["is_keyframe"] for s in run_s.frame_stats])
-        ours_kf.append(ate_pair(run_s.poses, gt_s, kf_s))
-        ours_kfa.append(ate_pair(run_s.poses, gt_s, kf_s, align=True))
-        ours_all.append(ate_pair(run_s.poses, gt_s))
-        tp, ts = measure_twin_trajectory(frames_s, cfg)
-        if tp is not None:
-            tp = tp[: len(gt_s)]
-            tm = np.array([s["is_keyframe"] for s in ts])[: len(tp)]
-            twin_kfm.append(ate_pair(tp, gt_s[: len(tp)], tm))
-            twin_kfa.append(ate_pair(tp, gt_s[: len(tp)], tm, align=True))
-            twin_all.append(ate_pair(tp, gt_s[: len(tp)]))
+            if acc["ate_all_m"] and acc["twin_ate_all_m"]:
+                acc["ate_vs_twin"] = round(acc["ate_all_m"] / acc["twin_ate_all_m"], 3)
+        return acc
 
-    def mean(xs):
-        xs = [x for x in xs if x is not None]
-        return round(float(np.mean(xs)), 3) if xs else None
+    acc_bill = accuracy_for_world(None, reuse_seed0=(world, frames, run))
+    from stereo_vo_tpu.data.synthetic import load_sample_photo
 
-    acc = {
-        "ate_keyframes_m": mean(ours_kf),
-        "ate_keyframes_aligned_m": mean(ours_kfa),
-        "ate_all_m": mean(ours_all),
-        "ate_seeds": acc_seeds,
-        "ate_keyframes_per_seed": ours_kf,
-        "ate_all_per_seed": ours_all,
-    }
-    if twin_all:
-        acc.update(
-            twin_ate_keyframes_m=mean(twin_kfm),
-            twin_ate_keyframes_aligned_m=mean(twin_kfa),
-            twin_ate_all_m=mean(twin_all),
-            twin_ate_all_per_seed=twin_all,
-        )
-        if acc["ate_all_m"] and acc["twin_ate_all_m"]:
-            acc["ate_vs_twin"] = round(acc["ate_all_m"] / acc["twin_ate_all_m"], 3)
+    photo_tex = load_sample_photo()
+    acc_photo = accuracy_for_world(photo_tex) if photo_tex is not None else None
+
+    # billboard keys stay top-level for cross-round continuity; the photo
+    # world is the headline accuracy gate (target ate_vs_twin_photo <= 1.05)
+    acc = dict(acc_bill)
+    acc["worlds"] = {"billboard": acc_bill, "photo": acc_photo}
+    if acc_photo and acc_photo.get("ate_vs_twin") is not None:
+        acc["ate_vs_twin_photo"] = acc_photo["ate_vs_twin"]
 
     try:
         p50, p99 = measure_stream_latency(cfg, frames)

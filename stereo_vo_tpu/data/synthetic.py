@@ -20,6 +20,7 @@ Rendering model (all geometry exact, no approximations):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -73,6 +74,31 @@ def _smooth_noise(rng, h, w, octaves=4, amp=40.0):
         )
         tex += up * (amp / (2 ** o) / 2.0)
     return tex
+
+
+def load_sample_photo() -> Optional[np.ndarray]:
+    """Public-domain photograph for photo-textured worlds (None if the
+    matplotlib sample data is unavailable).
+
+    The Grace Hopper portrait shipped with matplotlib (a US government work),
+    zero-meaned and contrast-scaled for the renderer's mid-gray canvas. Worlds
+    textured with it have natural image statistics (real gradients, lighting
+    structure) — the regime the pipeline defaults are tuned for, vs the
+    band-limited-noise billboards (tests/fixtures/make_real_fixtures.py uses
+    the same source for the checked-in PNG fixtures)."""
+    try:
+        import matplotlib
+        from PIL import Image
+    except ImportError:
+        return None
+    path = os.path.join(
+        os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data",
+        "grace_hopper.jpg",
+    )
+    if not os.path.exists(path):
+        return None
+    img = np.asarray(Image.open(path).convert("L"), np.float32)
+    return (img - img.mean()) * 0.9
 
 
 @dataclasses.dataclass

@@ -28,17 +28,11 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "real")
 
 
 def load_photo() -> np.ndarray:
-    import matplotlib
-    from PIL import Image
+    from stereo_vo_tpu.data.synthetic import load_sample_photo
 
-    path = os.path.join(
-        os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data",
-        "grace_hopper.jpg",
-    )
-    img = np.asarray(Image.open(path).convert("L"), np.float32)
-    # boost contrast a bit: the renderer adds the zero-meaned texture onto a
-    # mid-gray canvas, so full photographic dynamic range maps to ~[0, 255]
-    return (img - img.mean()) * 0.9
+    photo = load_sample_photo()
+    assert photo is not None, "matplotlib sample data missing"
+    return photo
 
 
 def main():
