@@ -43,6 +43,15 @@ class FrontendConfig:
     lk_max_level: int = 3
     lk_iters: int = 30
     lk_eps: float = 0.01
+    # Minimum-eigenvalue gate in THIS framework's units: eig of the Scharr/32
+    # f32 normal matrix / window area. OpenCV's unit (what the reference's
+    # minEigThreshold=1e-2 is expressed in, feature_tracker.cpp:26) is exactly
+    # 1/1024 of this (integer Scharr x FLT_SCALE=2^-20; ratio verified
+    # numerically), so the reference's gate is 10.24 here. That value is
+    # domain-tuned for real-KITTI contrast and measured to starve rendered
+    # imagery (see eval/cv_twin.py). The default keeps the gate near-disabled
+    # (1e-2 here ~ 1e-5 OpenCV) — the forward-backward round-trip check
+    # subsumes it: flat patches that slip the eig gate fail verification.
     lk_min_eig: float = 1e-2
     fb_thresh: float = 2.0         # forward-backward round-trip gate, px
     max_parallax: float = 200.0    # reject absurd tracks (feature_tracker.cpp:53)
@@ -72,6 +81,19 @@ class FrontendConfig:
     # imagery is the regime that matters. 1 level is too permissive (verifies
     # position only where appearance barely constrains scale): worst seed 1.8x.
     lk_bwd_levels: int = 2
+    # Cruise-frame coarse-level skip: when the previous frame's largest kept
+    # feature displacement is below this threshold (px at level 0), the
+    # forward pass drops its coarsest pyramid level and runs slack-10 regions
+    # on the new top — the coarse level exists only to absorb large motion,
+    # and its region set (slack 26 -> 88x88 vs 56x56) is the single most
+    # expensive extraction+sampling block in LK. Capture range without the
+    # skipped level is ~40 px (4 x level-2 slack), so 24 px keeps ~1.7x
+    # headroom; a feature that still out-runs its region fails that level and
+    # is dropped, which the keyframe gate then repairs with fresh detections
+    # (the reference re-detects the same way, image_processor.cpp:60-65).
+    # A frame that kills >15% of its features in one step forces the next
+    # frame back to the full pyramid. 0 disables the skip.
+    lk_skip_top_flow_px: float = 24.0
     pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
     pnp_refine_iters: int = 10     # GN refinement on inliers
 

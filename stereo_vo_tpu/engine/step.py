@@ -185,6 +185,7 @@ class VOEngine:
             feat_valid=jnp.zeros((f_cap,), bool),
             init_xy=jnp.zeros((f_cap, 2), jnp.float32),
             init_count=jnp.array(0, jnp.int32),
+            last_flow=jnp.array(1e9, jnp.float32),
         )
         return VOState(
             tracker=tracker,
@@ -446,6 +447,8 @@ class VOEngine:
             init_count=sel(
                 jnp.sum(slot_valid.astype(jnp.int32)), tr.init_count, tr.init_count
             ),
+            # flow belongs to the frame pair, so keyframe re-init keeps it
+            last_flow=jnp.where(has_det, tracked.last_flow, tr.last_flow),
         )
 
         new_state = VOState(

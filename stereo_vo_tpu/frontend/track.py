@@ -22,12 +22,16 @@ same masked array.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from stereo_vo_tpu.core.config import FrontendConfig
-from stereo_vo_tpu.ops.lk import lk_track_fwdbwd, lk_track_pyramid
+from stereo_vo_tpu.ops.lk import LK_SLACK, lk_track_fwdbwd, lk_track_pyramid
+
+# sentinel for "no flow estimate yet" — always takes the full pyramid
+_NO_FLOW = 1e9
 
 
 class TrackerState(NamedTuple):
@@ -37,6 +41,10 @@ class TrackerState(NamedTuple):
     feat_valid: jnp.ndarray           # [F]
     init_xy: jnp.ndarray              # [F, 2] positions at keyframe init
     init_count: jnp.ndarray           # [] int32 — feature count at init
+    # [] float32 — largest kept per-feature displacement of the previous
+    # step (px, level 0): the cruise-detector for the coarse-level skip
+    # (config.lk_skip_top_flow_px). _NO_FLOW forces a full-pyramid pass.
+    last_flow: jnp.ndarray
 
 
 class TrackStats(NamedTuple):
@@ -50,8 +58,15 @@ def tracker_init(
     xy: jnp.ndarray,
     ids: jnp.ndarray,
     valid: jnp.ndarray,
+    last_flow: Optional[jnp.ndarray] = None,
 ) -> TrackerState:
-    """Snapshot the feature set on a new keyframe (``FeatureTracker::init``)."""
+    """Snapshot the feature set on a new keyframe (``FeatureTracker::init``).
+
+    ``last_flow`` carries the previous step's flow estimate across the
+    re-init (flow is a property of the frame pair, not the feature set);
+    None means no estimate — the next step runs the full pyramid."""
+    if last_flow is None:
+        last_flow = jnp.array(_NO_FLOW, jnp.float32)
     return TrackerState(
         pyramid=tuple(pyramid),
         feat_xy=xy,
@@ -59,6 +74,7 @@ def tracker_init(
         feat_valid=valid,
         init_xy=xy,
         init_count=jnp.sum(valid.astype(jnp.int32)),
+        last_flow=last_flow,
     )
 
 
@@ -69,20 +85,42 @@ def track_step(
     flow_back: bool = True,
 ) -> Tuple[TrackerState, TrackStats]:
     """One tracking update (``FeatureTracker::track_features``)."""
+    prev_pyr = list(state.pyramid)
+    new_pyr = list(new_pyramid)
+    kwargs = dict(
+        window=cfg.lk_window, max_iters=cfg.lk_iters, eps=cfg.lk_eps,
+        min_eig_threshold=cfg.lk_min_eig,
+    )
     if flow_back:
-        fwd_xy, fwd_ok, bwd_xy, bwd_ok = lk_track_fwdbwd(
-            list(state.pyramid), list(new_pyramid), state.feat_xy,
-            state.feat_valid, window=cfg.lk_window, max_iters=cfg.lk_iters,
-            eps=cfg.lk_eps, min_eig_threshold=cfg.lk_min_eig,
-            bwd_levels=getattr(cfg, "lk_bwd_levels", 0),
-        )
+        kwargs["bwd_levels"] = getattr(cfg, "lk_bwd_levels", 0)
+        skip_thresh = getattr(cfg, "lk_skip_top_flow_px", 0.0)
+        if skip_thresh > 0 and len(prev_pyr) > 2:
+            # cruise-frame coarse-level skip (see config.lk_skip_top_flow_px):
+            # small measured flow -> drop the coarsest level and run slack-10
+            # regions on the new top. lax.cond executes ONE branch per frame.
+            def full(_):
+                return lk_track_fwdbwd(
+                    prev_pyr, new_pyr, state.feat_xy, state.feat_valid, **kwargs
+                )
+
+            def skip(_):
+                return lk_track_fwdbwd(
+                    prev_pyr[:-1], new_pyr[:-1], state.feat_xy,
+                    state.feat_valid, slack_top=LK_SLACK, **kwargs
+                )
+
+            fwd_xy, fwd_ok, bwd_xy, bwd_ok = jax.lax.cond(
+                state.last_flow < skip_thresh, skip, full, None
+            )
+        else:
+            fwd_xy, fwd_ok, bwd_xy, bwd_ok = lk_track_fwdbwd(
+                prev_pyr, new_pyr, state.feat_xy, state.feat_valid, **kwargs
+            )
         roundtrip = jnp.linalg.norm(state.feat_xy - bwd_xy, axis=1)
         ok = fwd_ok & bwd_ok & (roundtrip < cfg.fb_thresh)
     else:
         fwd_xy, fwd_ok = lk_track_pyramid(
-            list(state.pyramid), list(new_pyramid), state.feat_xy,
-            state.feat_valid, window=cfg.lk_window, max_iters=cfg.lk_iters,
-            eps=cfg.lk_eps, min_eig_threshold=cfg.lk_min_eig,
+            prev_pyr, new_pyr, state.feat_xy, state.feat_valid, **kwargs
         )
         ok = fwd_ok
 
@@ -95,10 +133,23 @@ def track_step(
         state.init_count, 1
     ).astype(jnp.float32)
 
+    # flow estimate for the next step's skip decision: largest KEPT
+    # displacement. Distrust it (force full pyramid next frame) when this
+    # step kept nothing or killed >15% of its features — either could mean
+    # motion out-ran a skipped pass rather than genuine occlusion/drift.
+    step_disp = jnp.linalg.norm(fwd_xy - state.feat_xy, axis=1)
+    max_flow = jnp.max(jnp.where(ok, step_disp, 0.0))
+    n_prev = jnp.sum(state.feat_valid.astype(jnp.int32))
+    step_loss = 1.0 - kept.astype(jnp.float32) / jnp.maximum(n_prev, 1)
+    last_flow = jnp.where(
+        (kept == 0) | (step_loss > 0.15), jnp.float32(_NO_FLOW), max_flow
+    )
+
     new_state = state._replace(
         pyramid=tuple(new_pyramid),
         feat_xy=jnp.where(ok[:, None], fwd_xy, state.feat_xy),
         feat_valid=ok,
+        last_flow=last_flow,
     )
     return new_state, TrackStats(
         av_parallax=av_parallax, percent_lost=percent_lost, num_tracked=kept

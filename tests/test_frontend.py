@@ -183,6 +183,58 @@ class TestTracker:
         assert float(stats3.av_parallax) < 0.1
         assert float(stats3.percent_lost) < 0.2
 
+    def test_cruise_skip_parity_and_safety(self, rng):
+        """The coarse-level skip (config.lk_skip_top_flow_px) must (a) match
+        the full-pyramid track on genuinely small motion, and (b) trip its
+        safety latch — last_flow reset, full pyramid next frame — when real
+        motion out-runs the skipped capture range."""
+        import dataclasses as dc
+
+        from stereo_vo_tpu.frontend.track import _NO_FLOW
+
+        world = SyntheticStereoSequence(cam=CAM, n_frames=2, shape=(240, 320),
+                                        n_points=150, seed=5, speed=0.08)
+        l0, _ = world.render(0)
+        l1, _ = world.render(1)
+        u0, v0, _, vis0 = world.projections(0)
+        sel = vis0 & (u0 > 80) & (u0 < 240) & (v0 > 40) & (v0 < 200)
+        f_cap = 64
+        n = min(int(sel.sum()), f_cap)
+        xy = np.zeros((f_cap, 2), np.float32)
+        xy[:n] = np.stack([u0[sel], v0[sel]], 1)[:n]
+        valid = np.arange(f_cap) < n
+        p0 = build_pyramid(jnp.asarray(l0, jnp.float32), 3)
+        p1 = build_pyramid(jnp.asarray(l1, jnp.float32), 3)
+        st = tracker_init(p0, jnp.asarray(xy), jnp.arange(f_cap, dtype=jnp.int32),
+                          jnp.asarray(valid))
+        # full pyramid (no flow estimate yet)
+        st_full, stats_full = track_step(st, p1, CFG)
+        # skip branch engaged by a small flow estimate
+        st_skip, stats_skip = track_step(
+            st._replace(last_flow=jnp.float32(1.0)), p1, CFG
+        )
+        both = np.asarray(st_full.feat_valid) & np.asarray(st_skip.feat_valid)
+        assert both.sum() >= 0.9 * int(stats_full.num_tracked)
+        np.testing.assert_allclose(
+            np.asarray(st_skip.feat_xy)[both], np.asarray(st_full.feat_xy)[both],
+            atol=0.05,
+        )
+        # the small real motion updates last_flow to a small value: skip stays
+        assert float(st_skip.last_flow) < 10.0
+
+        # (b) 60 px shift out-runs the skip's ~40 px capture: features die,
+        # the latch resets last_flow so the NEXT frame takes the full pyramid
+        l_big = np.roll(l0, 60, axis=1)
+        p_big = build_pyramid(jnp.asarray(l_big, jnp.float32), 3)
+        st_bad, stats_bad = track_step(
+            st._replace(last_flow=jnp.float32(1.0)), p_big, CFG
+        )
+        assert float(st_bad.last_flow) == _NO_FLOW
+        # while the full pyramid tracks the same shift fine
+        st_ok, stats_ok = track_step(st, p_big, CFG)
+        assert int(stats_ok.num_tracked) > int(stats_bad.num_tracked)
+        assert int(stats_ok.num_tracked) >= 0.6 * n
+
     def test_fb_gate_kills_occluded(self, rng):
         """A feature whose patch vanishes in the next image fails round-trip."""
         img0 = np.asarray(
