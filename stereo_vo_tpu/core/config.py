@@ -81,19 +81,20 @@ class FrontendConfig:
     # imagery is the regime that matters. 1 level is too permissive (verifies
     # position only where appearance barely constrains scale): worst seed 1.8x.
     lk_bwd_levels: int = 2
-    # Cruise-frame coarse-level skip: when the previous frame's largest kept
-    # feature displacement is below this threshold (px at level 0), the
-    # forward pass drops its coarsest pyramid level and runs slack-10 regions
-    # on the new top — the coarse level exists only to absorb large motion,
-    # and its region set (slack 26 -> 88x88 vs 56x56) is the single most
-    # expensive extraction+sampling block in LK. Capture range without the
-    # skipped level is ~40 px (4 x level-2 slack), so 24 px keeps ~1.7x
-    # headroom; a feature that still out-runs its region fails that level and
-    # is dropped, which the keyframe gate then repairs with fresh detections
-    # (the reference re-detects the same way, image_processor.cpp:60-65).
-    # A frame that kills >15% of its features in one step forces the next
-    # frame back to the full pyramid. 0 disables the skip.
-    lk_skip_top_flow_px: float = 24.0
+    # Flow-hinted cruise tracking: initialize each feature's forward search
+    # at pts + predicted flow (its own previous-step flow; fresh features
+    # borrow the nearest tracked neighbor's), so the pyramid only has to
+    # absorb the PREDICTION ERROR (~1-3 px at 11 Hz), not the absolute
+    # motion (measured per-frame max 30-60 px on KITTI-like worlds — which
+    # is why gating on absolute flow never engages). When the previous
+    # frame's max prediction error over kept features is below this
+    # threshold, LK runs only the lk_hint_levels finest levels (probe:
+    # 2-level = 1.08 ms vs full 4-level = 2.26 ms at 251 features). The
+    # round-trip gate still verifies every track, and a frame that keeps
+    # nothing or kills >15% of its features resets the gate to the full
+    # pyramid. 0 disables hinting (OpenCV-exact initialization always).
+    lk_hint_pred_err_px: float = 8.0
+    lk_hint_levels: int = 2
     pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
     pnp_refine_iters: int = 10     # GN refinement on inliers
 

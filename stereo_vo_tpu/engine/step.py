@@ -185,7 +185,9 @@ class VOEngine:
             feat_valid=jnp.zeros((f_cap,), bool),
             init_xy=jnp.zeros((f_cap, 2), jnp.float32),
             init_count=jnp.array(0, jnp.int32),
-            last_flow=jnp.array(1e9, jnp.float32),
+            flow_xy=jnp.zeros((f_cap, 2), jnp.float32),
+            flow_valid=jnp.zeros((f_cap,), bool),
+            pred_err=jnp.array(1e9, jnp.float32),
         )
         return VOState(
             tracker=tracker,
@@ -280,7 +282,8 @@ class VOEngine:
         """
         cfg = self.config
         f_cap = cfg.backend.feature_capacity
-        window, pnp_pose, cur_pose, feat_xy, feat_ids, feat_valid = args
+        (window, pnp_pose, cur_pose, feat_xy, feat_ids, feat_valid,
+         flow_xy, flow_valid) = args
         det_xy, det_valid = detect_features(left_f, cfg.frontend)
         # keyframe observations = PnP inliers only (image_processor.cpp:95-108)
         inlier_valid = feat_valid & inliers
@@ -348,16 +351,25 @@ class VOEngine:
         opt_pose = newest_pose(window)
 
         # tracker re-init slots: inlier tracked + new features
-        # (image_processor.cpp:146-162)
+        # (image_processor.cpp:146-162). Flow hints ride along under the same
+        # slot permutation (fresh detections have none; they borrow a
+        # neighbor's at the next track_step, frontend/track._flow_hint).
         cat_xy = jnp.concatenate([feat_xy, _pad_to(det_xy, f_cap)], axis=0)
         cat_ids = jnp.concatenate([feat_ids, new_ids], axis=0)
         cat_valid = jnp.concatenate([inlier_valid, new_ids_valid], axis=0)
+        cat_flow = jnp.concatenate(
+            [flow_xy, jnp.zeros((f_cap, 2), flow_xy.dtype)], axis=0
+        )
+        cat_flow_valid = jnp.concatenate(
+            [flow_valid & inlier_valid, jnp.zeros((f_cap,), bool)], axis=0
+        )
         order = jnp.argsort(jnp.logical_not(cat_valid), stable=True)
         n_newlm = jnp.sum(new_ids_valid.astype(jnp.int32))
         return (
             window, pose, opt_pose,
             cat_xy[order][:f_cap], cat_ids[order][:f_cap],
             cat_valid[order][:f_cap],
+            cat_flow[order][:f_cap], cat_flow_valid[order][:f_cap],
         ), (ba_stats.initial_cost, ba_stats.final_cost, ba_stats.iterations,
             n_newlm)
 
@@ -414,6 +426,7 @@ class VOEngine:
         small = (
             state.window, state.pnp_pose, state.cur_pose,
             tracked.feat_xy, tracked.feat_ids, tracked.feat_valid,
+            tracked.flow_xy, tracked.flow_valid,
         )
 
         def keyframe(args):
@@ -423,7 +436,8 @@ class VOEngine:
             zf = jnp.array(0.0, jnp.float32)
             return args, (zf, zf, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
 
-        (window, pnp_pose, cur_pose, slot_xy, slot_ids, slot_valid), (
+        (window, pnp_pose, cur_pose, slot_xy, slot_ids, slot_valid,
+         slot_flow, slot_flow_valid), (
             ba_c0, ba_c1, ba_iters, n_newlm
         ) = jax.lax.cond(do_keyframe, keyframe, non_keyframe, small)
         was_kf = do_keyframe
@@ -448,7 +462,10 @@ class VOEngine:
                 jnp.sum(slot_valid.astype(jnp.int32)), tr.init_count, tr.init_count
             ),
             # flow belongs to the frame pair, so keyframe re-init keeps it
-            last_flow=jnp.where(has_det, tracked.last_flow, tr.last_flow),
+            # (slot-permuted through _keyframe_work)
+            flow_xy=sel(slot_flow, tracked.flow_xy, tr.flow_xy),
+            flow_valid=sel(slot_flow_valid, tracked.flow_valid, tr.flow_valid),
+            pred_err=jnp.where(has_det, tracked.pred_err, tr.pred_err),
         )
 
         new_state = VOState(

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from stereo_vo_tpu.core.config import FrontendConfig
-from stereo_vo_tpu.ops.lk import LK_SLACK, lk_track_fwdbwd, lk_track_pyramid
+from stereo_vo_tpu.ops.lk import lk_track_fwdbwd, lk_track_pyramid
 
 # sentinel for "no flow estimate yet" — always takes the full pyramid
 _NO_FLOW = 1e9
@@ -41,10 +41,29 @@ class TrackerState(NamedTuple):
     feat_valid: jnp.ndarray           # [F]
     init_xy: jnp.ndarray              # [F, 2] positions at keyframe init
     init_count: jnp.ndarray           # [] int32 — feature count at init
-    # [] float32 — largest kept per-feature displacement of the previous
-    # step (px, level 0): the cruise-detector for the coarse-level skip
-    # (config.lk_skip_top_flow_px). _NO_FLOW forces a full-pyramid pass.
-    last_flow: jnp.ndarray
+    # per-feature flow of the previous step (the warm-start hint for
+    # config.lk_hint_pred_err_px) and its validity
+    flow_xy: jnp.ndarray              # [F, 2]
+    flow_valid: jnp.ndarray           # [F]
+    # [] float32 — largest |actual - predicted| flow over kept features of
+    # the previous step: the gate for hinted short-pyramid tracking.
+    # _NO_FLOW forces a full-pyramid pass.
+    pred_err: jnp.ndarray
+
+
+def _flow_hint(feat_xy, flow_xy, flow_valid):
+    """Per-feature predicted flow: own previous flow, else the nearest
+    tracked neighbor's (flow fields are locally smooth; fresh detections
+    appear next to tracked structure). Zero when nothing is valid."""
+    f = feat_xy.shape[0]
+    d2 = jnp.sum((feat_xy[:, None, :] - feat_xy[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(flow_valid[None, :], d2, jnp.float32(1e12))
+    nn = jnp.argmin(d2, axis=1)
+    # one-hot matmul gather (row gathers serialize on TPU)
+    onehot = (nn[:, None] == jnp.arange(f)[None, :]).astype(flow_xy.dtype)
+    nn_flow = onehot @ flow_xy
+    hint = jnp.where(flow_valid[:, None], flow_xy, nn_flow)
+    return jnp.where(jnp.any(flow_valid), hint, jnp.zeros_like(hint))
 
 
 class TrackStats(NamedTuple):
@@ -58,15 +77,22 @@ def tracker_init(
     xy: jnp.ndarray,
     ids: jnp.ndarray,
     valid: jnp.ndarray,
-    last_flow: Optional[jnp.ndarray] = None,
+    flow_xy: Optional[jnp.ndarray] = None,
+    flow_valid: Optional[jnp.ndarray] = None,
+    pred_err: Optional[jnp.ndarray] = None,
 ) -> TrackerState:
     """Snapshot the feature set on a new keyframe (``FeatureTracker::init``).
 
-    ``last_flow`` carries the previous step's flow estimate across the
-    re-init (flow is a property of the frame pair, not the feature set);
-    None means no estimate — the next step runs the full pyramid."""
-    if last_flow is None:
-        last_flow = jnp.array(_NO_FLOW, jnp.float32)
+    ``flow_xy``/``flow_valid``/``pred_err`` carry the previous step's flow
+    estimates across the re-init (flow is a property of the frame pair, not
+    the feature set); None means no estimate — the next step runs the full
+    pyramid."""
+    if flow_xy is None:
+        flow_xy = jnp.zeros_like(xy)
+    if flow_valid is None:
+        flow_valid = jnp.zeros(xy.shape[0], bool)
+    if pred_err is None:
+        pred_err = jnp.array(_NO_FLOW, jnp.float32)
     return TrackerState(
         pyramid=tuple(pyramid),
         feat_xy=xy,
@@ -74,7 +100,9 @@ def tracker_init(
         feat_valid=valid,
         init_xy=xy,
         init_count=jnp.sum(valid.astype(jnp.int32)),
-        last_flow=last_flow,
+        flow_xy=flow_xy,
+        flow_valid=flow_valid,
+        pred_err=pred_err,
     )
 
 
@@ -91,26 +119,36 @@ def track_step(
         window=cfg.lk_window, max_iters=cfg.lk_iters, eps=cfg.lk_eps,
         min_eig_threshold=cfg.lk_min_eig,
     )
+    hint_thresh = getattr(cfg, "lk_hint_pred_err_px", 0.0)
+    hint_levels = getattr(cfg, "lk_hint_levels", 2)
+    use_hint_path = (
+        flow_back and hint_thresh > 0 and 0 < hint_levels < len(prev_pyr)
+    )
+    hint = None
     if flow_back:
         kwargs["bwd_levels"] = getattr(cfg, "lk_bwd_levels", 0)
-        skip_thresh = getattr(cfg, "lk_skip_top_flow_px", 0.0)
-        if skip_thresh > 0 and len(prev_pyr) > 2:
-            # cruise-frame coarse-level skip (see config.lk_skip_top_flow_px):
-            # small measured flow -> drop the coarsest level and run slack-10
-            # regions on the new top. lax.cond executes ONE branch per frame.
+        if use_hint_path:
+            # flow-hinted cruise tracking (config.lk_hint_pred_err_px): when
+            # the previous step's flow prediction was accurate, warm-start at
+            # pts + hint and run only the finest levels — the pyramid absorbs
+            # the prediction error, not the absolute motion. lax.cond
+            # executes ONE branch per frame.
+            hint = _flow_hint(state.feat_xy, state.flow_xy, state.flow_valid)
+
             def full(_):
                 return lk_track_fwdbwd(
                     prev_pyr, new_pyr, state.feat_xy, state.feat_valid, **kwargs
                 )
 
-            def skip(_):
+            def hinted(_):
                 return lk_track_fwdbwd(
-                    prev_pyr[:-1], new_pyr[:-1], state.feat_xy,
-                    state.feat_valid, slack_top=LK_SLACK, **kwargs
+                    prev_pyr[:hint_levels], new_pyr[:hint_levels],
+                    state.feat_xy, state.feat_valid, init_flow=hint,
+                    bwd_from_original=True, **kwargs
                 )
 
             fwd_xy, fwd_ok, bwd_xy, bwd_ok = jax.lax.cond(
-                state.last_flow < skip_thresh, skip, full, None
+                state.pred_err < hint_thresh, hinted, full, None
             )
         else:
             fwd_xy, fwd_ok, bwd_xy, bwd_ok = lk_track_fwdbwd(
@@ -133,23 +171,41 @@ def track_step(
         state.init_count, 1
     ).astype(jnp.float32)
 
-    # flow estimate for the next step's skip decision: largest KEPT
-    # displacement. Distrust it (force full pyramid next frame) when this
-    # step kept nothing or killed >15% of its features — either could mean
-    # motion out-ran a skipped pass rather than genuine occlusion/drift.
-    step_disp = jnp.linalg.norm(fwd_xy - state.feat_xy, axis=1)
-    max_flow = jnp.max(jnp.where(ok, step_disp, 0.0))
-    n_prev = jnp.sum(state.feat_valid.astype(jnp.int32))
-    step_loss = 1.0 - kept.astype(jnp.float32) / jnp.maximum(n_prev, 1)
-    last_flow = jnp.where(
-        (kept == 0) | (step_loss > 0.15), jnp.float32(_NO_FLOW), max_flow
-    )
+    # per-feature flow + prediction-error gate for the next step. The error
+    # is measured against the hint in BOTH branches (in the full branch:
+    # what the hint WOULD have predicted), so the gate can engage after a
+    # full-pyramid frame. The statistic is the p90 over kept features, not
+    # the max: a couple of jittery features must not force the full pyramid
+    # (they fail the hinted pass's region/round-trip gates and are dropped —
+    # the same fate the fb gate deals unpredictable features anyway).
+    # Distrust the estimate entirely (full pyramid next frame) when this
+    # step kept nothing or killed >30% of its features — the mass-casualty
+    # signature of motion out-running a hinted short pyramid, well above the
+    # 10-20% routine attrition of fresh weak detections after a keyframe.
+    step_flow = fwd_xy - state.feat_xy
+    if use_hint_path:
+        perr = jnp.linalg.norm(step_flow - hint, axis=1)
+        desc = -jnp.sort(-jnp.where(ok, perr, -jnp.inf))     # kept errs, desc
+        k90 = (kept.astype(jnp.float32) * 0.1).astype(jnp.int32)
+        pred_err_now = jax.lax.dynamic_index_in_dim(
+            desc, jnp.minimum(k90, perr.shape[0] - 1), keepdims=False
+        )
+        n_prev = jnp.sum(state.feat_valid.astype(jnp.int32))
+        step_loss = 1.0 - kept.astype(jnp.float32) / jnp.maximum(n_prev, 1)
+        pred_err = jnp.where(
+            (kept == 0) | (step_loss > 0.30), jnp.float32(_NO_FLOW),
+            pred_err_now,
+        )
+    else:
+        pred_err = jnp.float32(_NO_FLOW)
 
     new_state = state._replace(
         pyramid=tuple(new_pyramid),
         feat_xy=jnp.where(ok[:, None], fwd_xy, state.feat_xy),
         feat_valid=ok,
-        last_flow=last_flow,
+        flow_xy=jnp.where(ok[:, None], step_flow, 0.0),
+        flow_valid=ok,
+        pred_err=pred_err,
     )
     return new_state, TrackStats(
         av_parallax=av_parallax, percent_lost=percent_lost, num_tracked=kept

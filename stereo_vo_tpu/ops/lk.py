@@ -469,6 +469,8 @@ def lk_track_fwdbwd(
     slack: int = LK_SLACK,
     slack_top: int = LK_SLACK_TOP,
     bwd_levels: int = 0,
+    init_flow=None,
+    bwd_from_original: bool = False,
 ):
     """Forward track + backward verification in one fused pass.
 
@@ -484,6 +486,18 @@ def lk_track_fwdbwd(
     NOTE: verifying at level 0 ONLY measured as too permissive — features
     whose appearance scales between frames round-trip within the gate yet
     carry poor positions, degrading trajectory accuracy — so keep >= 2.
+
+    ``init_flow [N, 2]`` warm-starts the forward search at ``pts +
+    init_flow`` (predicted flow from the previous frame): with a good
+    prediction the pyramid only needs to absorb the PREDICTION ERROR, not
+    the absolute motion, so callers can drop coarse levels entirely on
+    cruise frames. OpenCV's semantics (init at ``pts``) is ``init_flow=None``;
+    a converged run reaches the same fixed point either way, and the
+    round-trip gate still verifies every track. ``bwd_from_original`` forces
+    the truncated backward semantics (init at the ORIGINAL point) even when
+    ``bwd_levels >= n_levels`` — required with short hinted pyramids, where
+    walking the full motion backward from the endpoint would exceed the
+    top level's convergence basin.
     """
     half = window // 2
     n_levels = len(prev_pyr)
@@ -493,7 +507,7 @@ def lk_track_fwdbwd(
 
     # ---------- forward pass, caching regions per level
     scale_top = float(2 ** (n_levels - 1))
-    guess = pts / scale_top
+    guess = (pts if init_flow is None else pts + init_flow) / scale_top
     ok = valid
     cache = []
     for lvl in range(n_levels - 1, -1, -1):
@@ -548,8 +562,9 @@ def lk_track_fwdbwd(
     # without the coarse levels the backward flow cannot walk a large motion
     # within the per-level slack. The remaining coarse level(s) still verify
     # appearance-consistency before level 0 confirms the position.
-    bguess = (tracked if bwd_levels >= n_levels else pts) / \
-        float(2 ** (bwd_levels - 1))
+    bguess = (
+        tracked if (bwd_levels >= n_levels and not bwd_from_original) else pts
+    ) / float(2 ** (bwd_levels - 1))
     bok = fwd_ok
     for (lvl, prev_reg, next_reg, prev_org, next_org, (h, w), m) in cache:
         tracked_l = tracked / float(2 ** lvl)

@@ -183,57 +183,86 @@ class TestTracker:
         assert float(stats3.av_parallax) < 0.1
         assert float(stats3.percent_lost) < 0.2
 
-    def test_cruise_skip_parity_and_safety(self, rng):
-        """The coarse-level skip (config.lk_skip_top_flow_px) must (a) match
-        the full-pyramid track on genuinely small motion, and (b) trip its
-        safety latch — last_flow reset, full pyramid next frame — when real
-        motion out-runs the skipped capture range."""
-        import dataclasses as dc
-
+    def test_flow_hint_parity_and_safety(self, rng):
+        """Flow-hinted short-pyramid tracking (config.lk_hint_pred_err_px):
+        (a) with accurate hints the 2-level hinted pass matches the full
+        pyramid; (b) the full-pyramid pass measures prediction error so the
+        gate engages on the NEXT frame; (c) garbage hints on large motion
+        kill features and reset the gate to the full pyramid."""
         from stereo_vo_tpu.frontend.track import _NO_FLOW
 
-        world = SyntheticStereoSequence(cam=CAM, n_frames=2, shape=(240, 320),
-                                        n_points=150, seed=5, speed=0.08)
-        l0, _ = world.render(0)
-        l1, _ = world.render(1)
+        # 30 px shift of a textured rendered frame: far beyond a 2-level
+        # unhinted capture, trivial with a correct hint, exact ground truth
+        world = SyntheticStereoSequence(cam=CAM, n_frames=1, shape=(240, 320),
+                                        n_points=150, seed=5)
+        img0, _ = world.render(0)
+        shift = 30
+        img1 = np.roll(img0, shift, axis=1)
+        p0 = build_pyramid(jnp.asarray(img0, jnp.float32), 3)
+        p1 = build_pyramid(jnp.asarray(img1, jnp.float32), 3)
         u0, v0, _, vis0 = world.projections(0)
-        sel = vis0 & (u0 > 80) & (u0 < 240) & (v0 > 40) & (v0 < 200)
+        sel = vis0 & (u0 > 40) & (u0 < 260) & (v0 > 40) & (v0 < 200)
         f_cap = 64
         n = min(int(sel.sum()), f_cap)
         xy = np.zeros((f_cap, 2), np.float32)
         xy[:n] = np.stack([u0[sel], v0[sel]], 1)[:n]
         valid = np.arange(f_cap) < n
-        p0 = build_pyramid(jnp.asarray(l0, jnp.float32), 3)
-        p1 = build_pyramid(jnp.asarray(l1, jnp.float32), 3)
-        st = tracker_init(p0, jnp.asarray(xy), jnp.arange(f_cap, dtype=jnp.int32),
-                          jnp.asarray(valid))
-        # full pyramid (no flow estimate yet)
+        ids = jnp.arange(f_cap, dtype=jnp.int32)
+        st = tracker_init(p0, jnp.asarray(xy), ids, jnp.asarray(valid))
+
+        # (b) full pyramid (pred_err sentinel forces it); afterwards the
+        # state carries per-feature flow and a small prediction error is
+        # only available once flows exist — simulate the steady state by
+        # injecting the true flow as the previous step's flow
         st_full, stats_full = track_step(st, p1, CFG)
-        # skip branch engaged by a small flow estimate
-        st_skip, stats_skip = track_step(
-            st._replace(last_flow=jnp.float32(1.0)), p1, CFG
+        assert int(stats_full.num_tracked) >= 0.8 * n
+
+        true_flow = jnp.tile(jnp.asarray([[float(shift), 0.0]]), (f_cap, 1))
+        st_hinted_in = st._replace(
+            flow_xy=true_flow,
+            flow_valid=jnp.asarray(valid),
+            pred_err=jnp.float32(1.0),   # engages the hinted branch
         )
-        both = np.asarray(st_full.feat_valid) & np.asarray(st_skip.feat_valid)
-        assert both.sum() >= 0.9 * int(stats_full.num_tracked)
+        st_hint, stats_hint = track_step(st_hinted_in, p1, CFG)
+        both = np.asarray(st_full.feat_valid) & np.asarray(st_hint.feat_valid)
+        assert both.sum() >= 0.8 * int(stats_full.num_tracked)
         np.testing.assert_allclose(
-            np.asarray(st_skip.feat_xy)[both], np.asarray(st_full.feat_xy)[both],
+            np.asarray(st_hint.feat_xy)[both], np.asarray(st_full.feat_xy)[both],
             atol=0.05,
         )
-        # the small real motion updates last_flow to a small value: skip stays
-        assert float(st_skip.last_flow) < 10.0
+        # accurate prediction -> small measured error: the gate stays engaged
+        assert float(st_hint.pred_err) < 2.0
+        # flow snapshot updated for the next step
+        flows = np.asarray(st_hint.flow_xy)[both]
+        np.testing.assert_allclose(flows[:, 0], shift, atol=0.5)
 
-        # (b) 60 px shift out-runs the skip's ~40 px capture: features die,
-        # the latch resets last_flow so the NEXT frame takes the full pyramid
-        l_big = np.roll(l0, 60, axis=1)
-        p_big = build_pyramid(jnp.asarray(l_big, jnp.float32), 3)
-        st_bad, stats_bad = track_step(
-            st._replace(last_flow=jnp.float32(1.0)), p_big, CFG
+        # fresh features (no own flow) borrow a tracked neighbor's hint
+        st_fresh_in = st._replace(
+            flow_xy=true_flow.at[: n // 2].set(0.0),
+            flow_valid=jnp.asarray(valid).at[: n // 2].set(False),
+            pred_err=jnp.float32(1.0),
         )
-        assert float(st_bad.last_flow) == _NO_FLOW
-        # while the full pyramid tracks the same shift fine
-        st_ok, stats_ok = track_step(st, p_big, CFG)
+        st_fresh, stats_fresh = track_step(st_fresh_in, p1, CFG)
+        assert int(stats_fresh.num_tracked) >= 0.8 * int(stats_full.num_tracked)
+
+        # (c) garbage hints (zero flow) on a 70 px motion — beyond the hinted
+        # 2-level region bound (~52 px): features die and the gate resets so
+        # the NEXT frame takes the full pyramid (which tracks 70 px fine)
+        img2 = np.roll(img0, 70, axis=1)
+        p2 = build_pyramid(jnp.asarray(img2, jnp.float32), 3)
+        st_bad_in = st._replace(
+            flow_xy=jnp.zeros_like(true_flow),
+            flow_valid=jnp.asarray(valid),
+            pred_err=jnp.float32(1.0),
+        )
+        st_bad, stats_bad = track_step(st_bad_in, p2, CFG)
+        assert int(stats_bad.num_tracked) < 0.5 * int(stats_full.num_tracked)
+        assert float(st_bad.pred_err) == _NO_FLOW
+        st_ok, stats_ok = track_step(st, p2, CFG)
+        # (edge features legitimately exit the 320-px frame under a 70 px
+        # shift; the full pyramid still tracks what remains visible)
         assert int(stats_ok.num_tracked) > int(stats_bad.num_tracked)
-        assert int(stats_ok.num_tracked) >= 0.6 * n
+        assert int(stats_ok.num_tracked) >= 0.5 * n
 
     def test_fb_gate_kills_occluded(self, rng):
         """A feature whose patch vanishes in the next image fails round-trip."""
