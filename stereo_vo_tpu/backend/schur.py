@@ -386,21 +386,39 @@ def _build_system(poses, lm_pos, prob: LandmarkMajorProblem, cam, cfg, axis):
     sw = jnp.sqrt(_huber_weight(r, getattr(cfg, "huber_delta_px", 0.0)))[..., None]
     r = r * sw
     lift = quat_lift_jacobian(poses[:, 0:4])            # [W, 4, 3]
-    jq = jnp.einsum("lwij,wjk->lwik", jp7[..., 0:4], lift)
+    # 2x4 @ 4x3 per observation: broadcast-sum (elementwise, fuses) instead
+    # of a padded batched MXU dot
+    jq = jnp.sum(
+        jp7[..., 0:4, None] * lift[None, :, None, :, :], axis=-2
+    )                                                   # [L, W, 2, 3]
     jp6 = jnp.concatenate([jq, jp7[..., 4:7]], axis=-1)
     jp6 = jnp.where(mask[..., None, None], jp6 * sw[..., None], 0.0)
     jl = jnp.where(mask[..., None, None], jl * sw[..., None], 0.0)
 
-    # landmark-local blocks (no scatter needed in this layout)
-    v = jnp.einsum("lwri,lwrj->lij", jl, jl)            # [L, 3, 3]
-    g_l = -jnp.einsum("lwri,lwr->li", jl, r)            # [L, 3]
+    # One fused Gram: stack [jp6 | jl | r] into a [L, W, 2, 10] tensor and
+    # form its per-observation normal-equation Gram in ONE contraction —
+    # every block the solver needs (U, V, W, g_p, g_l, and even the weighted
+    # squared residual at [9, 9]) is a slice/reduction of it. Replaces five
+    # separate einsums; the LM iteration at production size (W=5, L=2048) is
+    # op-dispatch-bound, not FLOPs-bound, so kernel count is the cost model.
+    jall = jnp.concatenate([jp6, jl, r[..., None]], axis=-1)   # [L, W, 2, 10]
+    # contraction over the 2 residual rows written as two broadcast outer
+    # products: a batched dot with 10x10 free dims lowers to a padded MXU
+    # matmul (measured slower); this form stays elementwise on the VPU and
+    # fuses with the slice-reductions below
+    gram = (
+        jall[..., 0, :, None] * jall[..., 0, None, :]
+        + jall[..., 1, :, None] * jall[..., 1, None, :]
+    )                                                          # [L, W, 10, 10]
+    v = jnp.sum(gram[..., 6:9, 6:9], axis=1)                   # [L, 3, 3]
+    g_l = -jnp.sum(gram[..., 6:9, 9], axis=1)                  # [L, 3]
+    wl = gram[..., :6, 6:9]                                    # [L, W, 6, 3]
+    u_part = jnp.sum(gram[..., :6, :6], axis=0)                # [W, 6, 6]
+    g_p_part = -jnp.sum(gram[..., :6, 9], axis=0)              # [W, 6]
     # stereo prior contributes only to the landmark block and gradient
     pw = jnp.where(prob.lm_valid, prob.lm_prior_w, 0.0)
     v = v + pw[:, None, None] * jnp.eye(3, dtype=dtype)
     g_l = g_l + pw[:, None] * (prob.lm_prior - lm_pos)
-    wl = jnp.einsum("lwri,lwrj->lwij", jp6, jl)         # [L, W, 6, 3]
-    u_part = jnp.einsum("lwri,lwrj->wij", jp6, jp6)     # [W, 6, 6] partial
-    g_p_part = -jnp.einsum("lwri,lwr->wi", jp6, r)      # [W, 6] partial
 
     if axis is not None:
         u_blocks = jax.lax.psum(u_part, axis)
@@ -428,16 +446,27 @@ def _damp_reduce(sys: BASystem, lam, axis):
     v_inv = _inv3x3(damp(sys.v), eps=1e-6)
     v_inv = jnp.where(sys.lm_active[:, None, None], v_inv, 0.0)
 
-    wv = jnp.einsum("lwab,lbc->lwac", sys.wl, v_inv)
-    s_part = -jnp.einsum("lwac,lvdc->wavd", wv, sys.wl)
-    rhs_part = -jnp.einsum("lwac,lc->wa", wv, sys.g_l)
+    # Fused Schur reduction: append g_l as a 31st row of the flattened
+    # coupling block, so ONE [31, 31] Gram against V^-1 yields the whole
+    # -W V^-1 W^T block ([:30, :30]), the rhs correction W V^-1 g_l
+    # ([:30, 30]), and (free, unused) g_l V^-1 g_l — replacing the separate
+    # wv/s/rhs einsums AND halving the per-λ collectives to one psum.
+    l = sys.wl.shape[0]
+    n6 = w * 6
+    wlg = jnp.concatenate(
+        [sys.wl.reshape(l, n6, 3), sys.g_l[:, None, :]], axis=1
+    )                                                   # [L, 31, 3]
+    # wlg @ v_inv as a broadcast-sum over the 3-dim (elementwise, fuses);
+    # the [31, 31] Gram then contracts over (L*3) — a genuinely MXU-shaped
+    # matmul, left as a dot
+    a = jnp.sum(wlg[:, :, :, None] * v_inv[:, None, :, :], axis=2)  # [L, 31, 3]
+    msum = jnp.einsum("lic,ljc->ij", a, wlg)            # [31, 31], sums over L
 
-    # ---- the only per-λ collectives: reduce s/rhs over the lm axis
+    # ---- the only per-λ collective: reduce the [31, 31] block over lm shards
     if axis is not None:
-        s = jax.lax.psum(s_part, axis)
-        rhs = sys.g_p + jax.lax.psum(rhs_part, axis)
-    else:
-        s, rhs = s_part, sys.g_p + rhs_part
+        msum = jax.lax.psum(msum, axis)
+    s = -msum[:n6, :n6].reshape(w, 6, w, 6)
+    rhs = sys.g_p - msum[:n6, n6].reshape(w, 6)
 
     # damping of U uses the reduced (global) diagonal — matches single-device
     s = s + jnp.einsum("wv,wab->wavb", jnp.eye(w, dtype=dtype), damp(sys.u_blocks))
@@ -503,18 +532,24 @@ def _solve_from_system(sys: BASystem, poses, lm_pos, lam, cfg, axis):
             s_mat.astype(jnp.float64), rhs_v.astype(jnp.float64)
         ).astype(dtype)
     else:
-        delta_flat = jnp.linalg.solve(s_mat, rhs_v)
+        # factor ONCE and reuse the LU for refinement (jnp.linalg.solve is
+        # lu_factor + lu_solve internally, so the first solve is bit-identical
+        # to before, and each refinement pass saves a full re-factorization)
+        lu, piv = jax.scipy.linalg.lu_factor(s_mat)
+        delta_flat = jax.scipy.linalg.lu_solve((lu, piv), rhs_v)
         # mixed-precision iterative refinement: one residual-correction pass
         # recovers most of the accuracy f32 loses on ill-conditioned big
-        # windows, reusing the already-computed solve path
+        # windows, reusing the already-computed factorization
         for _ in range(int(getattr(cfg, "reduced_solve_refine", 0))):
             resid = rhs_v - s_mat @ delta_flat
-            delta_flat = delta_flat + jnp.linalg.solve(s_mat, resid)
+            delta_flat = delta_flat + jax.scipy.linalg.lu_solve((lu, piv), resid)
     delta_p = delta_flat.reshape(w, 6) * fm[:, None]
 
-    # local landmark back-substitution
-    wtdp = jnp.einsum("lwab,wa->lb", sys.wl, delta_p)
-    delta_l = jnp.einsum("lbc,lc->lb", v_inv, sys.g_l - wtdp)
+    # local landmark back-substitution (broadcast-sums: tiny contractions
+    # lower better on the VPU than padded batched dots)
+    wtdp = jnp.sum(sys.wl * delta_p[None, :, :, None], axis=(1, 2))   # [L, 3]
+    gw = sys.g_l - wtdp
+    delta_l = jnp.sum(v_inv * gw[:, None, :], axis=2)                 # [L, 3]
     delta_l = jnp.where(sys.lm_active[:, None], delta_l, 0.0)
 
     # predicted decrease 0.5 δᵀ(λDδ + g); the landmark part sums locally per
