@@ -27,9 +27,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=33)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--skip", type=int, default=0,
+                    help="advance the state through this many frames (in "
+                         "chunk-size steps) before tracing — profiles a "
+                         "cruise-phase window instead of the kf-dense start")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default="/tmp/svo_trace")
     args = ap.parse_args()
+    args.skip = (args.skip // args.chunk) * args.chunk
 
     from stereo_vo_tpu.utils.cache import setup_compilation_cache
 
@@ -46,7 +51,8 @@ def main():
 
     cfg = load_config("kitti00")
     world = SyntheticStereoSequence(
-        cam=cfg.camera, n_frames=args.frames, shape=(376, 1241), n_points=4000,
+        cam=cfg.camera, n_frames=max(args.frames, 1 + args.skip + args.chunk),
+        shape=(376, 1241), n_points=4000,
         seed=0, speed=0.8, yaw_rate=0.003,
     )
     frames = list(world)
@@ -55,10 +61,21 @@ def main():
     state, _ = engine.bootstrap(
         state, jnp.asarray(frames[0].left), jnp.asarray(frames[0].right)
     )
+    for lo in range(1, 1 + args.skip, args.chunk):
+        ch = frames[lo: lo + args.chunk]
+        state, _, summ = engine.replay_chunk(
+            state,
+            jnp.asarray(np.stack([f.left for f in ch])),
+            jnp.asarray(np.stack([f.right for f in ch])),
+        )
+    if args.skip:
+        kf_skip = float(np.asarray(summ)[:, 7].sum())
+        print(f"[profile] skipped to frame {1 + args.skip} "
+              f"(last chunk: {kf_skip:.0f} keyframes)")
 
-    n = 1 + args.chunk
-    lefts = jnp.asarray(np.stack([f.left for f in frames[1:n]]))
-    rights = jnp.asarray(np.stack([f.right for f in frames[1:n]]))
+    lo = 1 + args.skip
+    lefts = jnp.asarray(np.stack([f.left for f in frames[lo: lo + args.chunk]]))
+    rights = jnp.asarray(np.stack([f.right for f in frames[lo: lo + args.chunk]]))
 
     # warm-up: compile + run once so the trace sees steady state
     state2, poses, summ = engine.replay_chunk(state, lefts, rights)

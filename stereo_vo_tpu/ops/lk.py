@@ -53,7 +53,14 @@ LK_SLACK_TOP = 26
 # ~12 effective iterations each, that overhead was a large share of frame
 # wall time. Convergence masking is per sub-iteration, so results are
 # unchanged — converged features' extra sub-steps are masked no-ops.
+# Env-overridable (read at trace time) for on-hardware probing.
 LK_UNROLL = 3
+
+
+def _lk_unroll() -> int:
+    import os
+
+    return int(os.environ.get("STEREO_VO_LK_UNROLL", LK_UNROLL))
 
 
 def _pad_edge(img: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -283,6 +290,12 @@ LK_COMPACT_AFTER = 6
 LK_COMPACT_K = 128
 
 
+def _lk_compact_after() -> int:
+    import os
+
+    return int(os.environ.get("STEREO_VO_LK_COMPACT_AFTER", LK_COMPACT_AFTER))
+
+
 def _gn_loop(regions_j, tpl3, invs, solvable, org_f, guess, prev_step,
              converged, it0, half, m, max_iters, eps):
     """Masked whole-batch GN iteration from ``it0`` until ``max_iters`` or all
@@ -321,7 +334,7 @@ def _gn_loop(regions_j, tpl3, invs, solvable, org_f, guess, prev_step,
                 jnp.where(upd[:, None], step, prev_step), it + 1)
 
     def body_unrolled(state):
-        for _ in range(LK_UNROLL):
+        for _ in range(_lk_unroll()):
             state = body(state)
         return state
 
@@ -372,7 +385,8 @@ def _gn_iterate(tpl, regions_j, guess, active, half,
         )
 
     k = LK_COMPACT_K
-    phase1_end = LK_COMPACT_AFTER if (max_iters > LK_COMPACT_AFTER and n > k) \
+    compact_after = _lk_compact_after()
+    phase1_end = compact_after if (max_iters > compact_after and n > k) \
         else max_iters
     guess, converged, prev_step, it = _gn_loop(
         regions_j, tpl, (inv11, inv12, inv22), solvable, org,
