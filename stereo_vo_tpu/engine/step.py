@@ -159,13 +159,32 @@ class VOEngine:
         The offline-replay fast path: amortizes per-call dispatch/transfer
         latency (which dominates on remote-attached devices) over many frames.
         Returns ``(state, poses [K, 7], summaries [K, 18])``.
-        """
 
-        def body(st, lr):
-            st, out = self._step(st, lr[0], lr[1])
+        The per-frame image preprocessing that does not depend on the carried
+        state — pyramid levels and the detection-gate peak count — is hoisted
+        OUT of the scan and computed for the whole chunk as batched ops: a
+        [K, H, W] convolution keeps the VPU busier than K serial [H, W] ones
+        inside the sequential scan, and XLA can schedule the entire batch
+        without the scan's carry dependency.
+        """
+        from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks
+
+        cfg = self.config
+        lefts_f = lefts.astype(jnp.float32)
+        pyrs = build_pyramid(lefts_f, cfg.frontend.lk_max_level)  # [K, h, w] each
+        n_peaks = count_quality_peaks(
+            lefts_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size
+        )                                                          # [K]
+
+        def body(st, xs):
+            left, right, peaks = xs[0], xs[1], xs[2]
+            pyr = tuple(xs[3:])
+            st, out = self._step(st, left, right, precomp=(pyr, peaks))
             return st, (out.pose_cw, out.summary)
 
-        state, (poses, summaries) = jax.lax.scan(body, state, (lefts, rights))
+        state, (poses, summaries) = jax.lax.scan(
+            body, state, (lefts, rights, n_peaks, *pyrs)
+        )
         return state, poses, summaries
 
     # ------------------------------------------------------------------
@@ -374,13 +393,18 @@ class VOEngine:
             n_newlm)
 
     # ------------------------------------------------------------------
-    def _step(self, state: VOState, left, right) -> Tuple[VOState, StepOutput]:
+    def _step(self, state: VOState, left, right, precomp=None
+              ) -> Tuple[VOState, StepOutput]:
         """One frame. Control-flow layout is deliberate for TPU: the heavy
         arrays (image pyramids) are computed unconditionally and selected with
         cheap elementwise ``where``s, so only *small* state (window, landmark
         tables, feature slots) ever crosses a ``lax.cond`` boundary — each cond
         materializes copies of everything it carries, which dominated frame
-        time in the naive nested-cond formulation."""
+        time in the naive nested-cond formulation.
+
+        ``precomp = (pyramid_tuple, n_peaks)`` supplies the state-independent
+        per-frame preprocessing when the caller batched it across a chunk
+        (``_replay_chunk``); ``None`` (the streaming path) computes it here."""
         cfg = self.config
         f_cap = cfg.backend.feature_capacity
         left_f = left.astype(jnp.float32)
@@ -390,12 +414,15 @@ class VOEngine:
         # deferred to the keyframe branch where its output is actually used
         from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks
 
-        n_peaks = count_quality_peaks(
-            left_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size
-        )
+        if precomp is None:
+            n_peaks = count_quality_peaks(
+                left_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size
+            )
+            pyr = tuple(build_pyramid(left_f, cfg.frontend.lk_max_level))
+        else:
+            pyr, n_peaks = tuple(precomp[0]), precomp[1]
         n_det = jnp.minimum(n_peaks, cfg.frontend.max_detect)
         has_det = n_peaks >= cfg.frontend.min_detected
-        pyr = tuple(build_pyramid(left_f, cfg.frontend.lk_max_level))
 
         # Track unconditionally; if the frame is skipped (under 4 detections,
         # image_processor.cpp:23-25) the tracker update is discarded below.

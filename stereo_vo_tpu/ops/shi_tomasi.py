@@ -56,16 +56,19 @@ def count_quality_peaks(
     < 4 NMS survivors is pathological, so full (expensive) suppression can be
     deferred to keyframe processing.
     """
-    h, w = img.shape
+    h, w = img.shape[-2:]
     resp = min_eig_response(img, block_size)
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     resp = jnp.where(inside, resp, 0.0)
-    thresh = jnp.max(resp) * quality_level
+    # batch-friendly: per-image threshold/count over the trailing image dims
+    # (leading dims ride through — the chunked replay precomputes the gate for
+    # a whole chunk in one batched pass, see VOEngine._replay_chunk)
+    thresh = jnp.max(resp, axis=(-2, -1), keepdims=True) * quality_level
     localmax3 = max_filter(resp, 1)
     is_peak = (resp >= localmax3) & (resp >= thresh) & (resp > 0)
-    return jnp.sum(is_peak.astype(jnp.int32))
+    return jnp.sum(is_peak.astype(jnp.int32), axis=(-2, -1))
 
 
 def detect_corners(
