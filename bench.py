@@ -284,6 +284,11 @@ def measure_ba_iters(attempts=3):
         fn = jax.jit(scanned)
         deltas = jnp.arange(scan_k, dtype=jnp.float32)[:, None, None] * 1e-6
         _ = np.asarray(fn(prob, deltas))  # compile
+        # second warmup with fresh inputs: the first post-compile execution at
+        # the big shape pays a one-time ~0.4 s overhead (measured — likely
+        # allocator/program warmup), which otherwise lands in the first timed
+        # group and inflates the spread past the retry gate
+        _ = np.asarray(fn(prob, deltas + 7e-7))
         # median of independent timed groups + spread: a contended chip showed
         # 9x phantom slowdowns in round 2 when a single group was recorded
         best = None
@@ -307,6 +312,11 @@ def measure_ba_iters(attempts=3):
         med, spread = best
         out[tag] = round(med, 1)
         out[tag + "_spread"] = round(spread, 2)
+        # methodology marker (ADVICE r4): scan-amortized since round 4; the
+        # rounds-1-3 numbers under these keys measured per-call dispatch
+        # (relay-RTT-bound) and are NOT comparable — scan_k > 1 says which
+        # methodology produced this row.
+        out[tag + "_scan_k"] = scan_k
         if spread > 0.3:
             out[tag + "_contended"] = True
     return out

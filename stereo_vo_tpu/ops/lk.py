@@ -60,7 +60,12 @@ LK_UNROLL = 3
 def _lk_unroll() -> int:
     import os
 
-    return int(os.environ.get("STEREO_VO_LK_UNROLL", LK_UNROLL))
+    # clamp to >=1: 0 would make the unrolled body a no-op that never
+    # increments the while counter — a compiled infinite loop on device.
+    # NOTE: read at TRACE time; set before the engine's jitted functions
+    # first trace (an in-process change after tracing is ignored by the jit
+    # cache — restart the process or use a fresh engine for A/B probes).
+    return max(1, int(os.environ.get("STEREO_VO_LK_UNROLL", LK_UNROLL)))
 
 
 def _pad_edge(img: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -293,6 +298,7 @@ LK_COMPACT_K = 128
 def _lk_compact_after() -> int:
     import os
 
+    # trace-time read — see _lk_unroll's note on the jit cache
     return int(os.environ.get("STEREO_VO_LK_COMPACT_AFTER", LK_COMPACT_AFTER))
 
 

@@ -276,3 +276,31 @@ def test_condition_probe_and_precision_islands():
     # 8 poses x 1024 landmarks at 0.5 px noise)
     assert refined <= base * 1.5
     assert refined < 0.3
+
+
+def test_narrow_build_path_matches_fused(rng, monkeypatch):
+    """The large-shape narrow-einsum normal-equation build (used when
+    L*W > _FUSED_GRAM_MAX_OBS, where the fused [L,W,10,10] Gram would
+    materialize hundreds of MB) must produce the identical system."""
+    import stereo_vo_tpu.backend.schur as schur_mod
+    from stereo_vo_tpu.backend.schur import (
+        _build_system, window_to_landmark_major,
+    )
+
+    cfg, window_gt, *_ = make_problem(rng, noise_px=0.5)
+    window = perturb(window_gt, rng)
+    prob = window_to_landmark_major(window)
+
+    fused = _build_system(prob.poses, prob.lm_pos, prob, CAM, cfg, None)
+    monkeypatch.setattr(schur_mod, "_FUSED_GRAM_MAX_OBS", 0)
+    narrow = _build_system(prob.poses, prob.lm_pos, prob, CAM, cfg, None)
+
+    for name, a, b in zip(fused._fields, fused, narrow):
+        a, b = np.asarray(a), np.asarray(b)
+        # absolute tolerance scaled to the field's magnitude: the two
+        # contraction orders differ by f32 cancellation noise on near-zero
+        # entries of O(1e4) blocks
+        atol = 1e-5 * max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=atol, err_msg=f"field {name}",
+        )
