@@ -322,26 +322,67 @@ def measure_ba_iters(attempts=3):
     return out
 
 
-def measure_stream_device(cfg, frames, n=16):
+def measure_stream_device(cfg, frames, n=16, skip=48):
     """Estimated on-device per-step compute time, relay-free.
 
-    Chains ``n`` steps with the state carried device-side and NO host sync
-    until the end: dispatch pipelining hides the network relay's per-call
-    round-trip, so (wall - 1 fetch) / n approximates what an on-board host
-    would see per frame (the reference's 50 ms loop budget,
-    vo_node.cpp:139). Complements stream_ms_p50, which includes the relay."""
+    Two methodology fixes vs rounds 3-4 (whose 10.1 -> 12.6 "regression" was
+    measurement, not compute — hint-off A/B showed zero difference):
+    - the measured window starts at frame ``skip``, mid-sequence, instead of
+      the bootstrap-adjacent frames whose keyframe cadence is ~75% (the
+      sequence-wide ratio is ~37%; the old number mixed regimes round to
+      round as the early cadence shifted);
+    - the primary estimate scans ``n`` steps of the STREAMING program (no
+      hoisted precomputation) inside one jit call with one final fetch —
+      pure device time, immune to relay-dispatch jitter. The per-call
+      dispatch-pipelined walk is kept as ``loop_ms`` (what a host driving
+      frame-by-frame through this relay would see).
+
+    Returns ``(scan_ms, loop_ms, kf_ratio_in_window)``."""
     import jax
+    import jax.numpy as jnp
 
     from stereo_vo_tpu.engine.step import VOEngine
 
     engine = VOEngine(cfg, frames[0].left.shape)
     state = engine.init_state()
     state, _ = engine.bootstrap(
-        state, jax.numpy.asarray(frames[0].left), jax.numpy.asarray(frames[0].right)
+        state, jnp.asarray(frames[0].left), jnp.asarray(frames[0].right)
     )
-    devs = [jax.device_put(np.asarray(f.left)) for f in frames[1 : n + 1]]
-    devs_r = [jax.device_put(np.asarray(f.right)) for f in frames[1 : n + 1]]
-    state, out = engine.step(state, devs[0], devs_r[0])  # compile
+    skip = min(skip, max(len(frames) - n - 1, 0))
+    window = frames[1 + skip : 1 + skip + n]
+    n = len(window)
+
+    # advance state to the window start through the chunked path (fast)
+    if skip:
+        lefts = jnp.stack([jnp.asarray(f.left) for f in frames[1 : 1 + skip]])
+        rights = jnp.stack([jnp.asarray(f.right) for f in frames[1 : 1 + skip]])
+        state, _, _ = engine.replay_chunk(state, lefts, rights)
+
+    lefts = jnp.stack([jnp.asarray(f.left) for f in window])
+    rights = jnp.stack([jnp.asarray(f.right) for f in window])
+
+    def scan_stream(st, ls, rs):
+        def body(s, xs):
+            s, out = engine._step(s, xs[0], xs[1])
+            return s, out.summary
+        return jax.lax.scan(body, st, (ls, rs))
+
+    fn = jax.jit(scan_stream)
+    _, summ = fn(state, lefts, rights)
+    summ_h = np.asarray(summ)  # compile + fetch
+    kf_ratio = float(summ_h[:, 7].mean())
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, summ = fn(state, lefts, rights)
+        np.asarray(summ)
+        ts.append((time.perf_counter() - t0) * 1e3 / n)
+    scan_ms = round(float(np.median(ts)), 1)
+
+    # dispatch-pipelined per-call walk over the same window
+    devs = [jax.device_put(np.asarray(f.left)) for f in window]
+    devs_r = [jax.device_put(np.asarray(f.right)) for f in window]
+    st, out = engine.step(state, devs[0], devs_r[0])  # compile
     np.asarray(out.summary)
     ts = []
     for _ in range(3):
@@ -351,7 +392,8 @@ def measure_stream_device(cfg, frames, n=16):
             s, out = engine.step(s, le, ri)
         np.asarray(out.summary)
         ts.append((time.perf_counter() - t0) * 1e3 / n)
-    return round(float(np.median(ts)), 1)
+    loop_ms = round(float(np.median(ts)), 1)
+    return scan_ms, loop_ms, round(kf_ratio, 3)
 
 
 def main():
@@ -403,11 +445,15 @@ def main():
     # photo-textured world (natural image statistics — the regime the
     # pipeline defaults are tuned for; the representative accuracy number).
     acc_seeds = [0] if args.quick else [0, 1, 2]
+    # the photo world's twin ATE swings ~4.6x across 3 seeds (VERDICT r4 weak
+    # #4): its gate needs >=5 seeds and a per-seed-ratio median to be stable
+    photo_seeds = [0] if args.quick else [0, 1, 2, 3, 4]
 
-    def accuracy_for_world(texture, reuse_seed0=None):
+    def accuracy_for_world(texture, reuse_seed0=None, seeds=None):
+        seeds = acc_seeds if seeds is None else seeds
         ours_kf, ours_kfa, ours_all = [], [], []
         twin_kfm, twin_kfa, twin_all = [], [], []
-        for seed in acc_seeds:
+        for seed in seeds:
             if seed == 0 and reuse_seed0 is not None:
                 w_s, frames_s, run_s = reuse_seed0
             else:
@@ -435,7 +481,7 @@ def main():
             "ate_keyframes_m": mean(ours_kf),
             "ate_keyframes_aligned_m": mean(ours_kfa),
             "ate_all_m": mean(ours_all),
-            "ate_seeds": acc_seeds,
+            "ate_seeds": seeds,
             "ate_keyframes_per_seed": ours_kf,
             "ate_all_per_seed": ours_all,
         }
@@ -448,20 +494,37 @@ def main():
             )
             if acc["ate_all_m"] and acc["twin_ate_all_m"]:
                 acc["ate_vs_twin"] = round(acc["ate_all_m"] / acc["twin_ate_all_m"], 3)
+            # per-seed ratios + their median: robust to one bad twin seed
+            # (the mean-of-ATEs ratio swings with the denominator's outliers)
+            ratios = [
+                round(o / t, 3)
+                for o, t in zip(ours_all, twin_all)
+                if o is not None and t is not None and t > 0
+            ]
+            if ratios:
+                acc["ate_vs_twin_per_seed"] = ratios
+                acc["ate_vs_twin_median"] = round(float(np.median(ratios)), 3)
         return acc
 
     acc_bill = accuracy_for_world(None, reuse_seed0=(world, frames, run))
     from stereo_vo_tpu.data.synthetic import load_sample_photo
 
     photo_tex = load_sample_photo()
-    acc_photo = accuracy_for_world(photo_tex) if photo_tex is not None else None
+    acc_photo = (
+        accuracy_for_world(photo_tex, seeds=photo_seeds)
+        if photo_tex is not None else None
+    )
 
     # billboard keys stay top-level for cross-round continuity; the photo
-    # world is the headline accuracy gate (target ate_vs_twin_photo <= 1.05)
+    # world is the headline accuracy gate (target ate_vs_twin_photo <= 1.05,
+    # judged on the median of per-seed ratios over >=5 seeds — VERDICT r4
+    # weak #4: the 3-seed mean ratio rode a 4.6x-spread denominator)
     acc = dict(acc_bill)
     acc["worlds"] = {"billboard": acc_bill, "photo": acc_photo}
     if acc_photo and acc_photo.get("ate_vs_twin") is not None:
-        acc["ate_vs_twin_photo"] = acc_photo["ate_vs_twin"]
+        acc["ate_vs_twin_photo"] = acc_photo.get(
+            "ate_vs_twin_median", acc_photo["ate_vs_twin"]
+        )
 
     try:
         p50, p99 = measure_stream_latency(cfg, frames)
@@ -471,10 +534,52 @@ def main():
         p50 = p99 = rtt = None
 
     try:
-        dev_ms = measure_stream_device(cfg, frames)
+        dev_ms, loop_ms, stream_kf = measure_stream_device(cfg, frames)
     except Exception as e:
         print(f"[bench] device step time measurement failed: {e}", file=sys.stderr)
-        dev_ms = None
+        dev_ms = loop_ms = stream_kf = None
+
+    # ---- auditable throughput receipts (VERDICT r4 item 1a) ---------------
+    # hint engagement comes free from the headline replay's per-frame rows
+    hint_all = [s.get("hinted", False) for s in run.frame_stats]
+    cruise = [s.get("hinted", False) for s in run.frame_stats
+              if not s["is_keyframe"]]
+    engagement = {
+        "overall": round(float(np.mean(hint_all)), 3) if hint_all else None,
+        "cruise": round(float(np.mean(cruise)), 3) if cruise else None,
+    }
+
+    stage_ms = None
+    if not args.quick:
+        try:
+            from benchmarks.probe_stages import probe_stage_timings
+
+            stage_ms = probe_stage_timings(k=32)
+        except Exception as e:
+            print(f"[bench] stage probe failed: {e}", file=sys.stderr)
+
+    # keyframe-cadence sensitivity (VERDICT r4 item 7): fps at a sparser and
+    # a denser cadence on the same frames, so the headline's dependence on
+    # the bench world's 37% keyframe regime is explicit
+    cadence = None
+    if not args.quick:
+        cadence = {}
+        from stereo_vo_tpu.core.config import _apply_overrides
+
+        for tag, thresh in (("sparse_kf", 40.0), ("dense_kf", 10.0)):
+            try:
+                cfg_c = _apply_overrides(
+                    cfg, {"frontend": {"parallax_thresh": thresh}}
+                )
+                run_c = measure_tpu(cfg_c, frames, args.chunk)
+                kf_c = sum(1 for s in run_c.frame_stats if s["is_keyframe"])
+                cadence[tag] = {
+                    "fps": round(run_c.frames_per_sec, 1),
+                    "kf_ratio": round(kf_c / max(len(run_c.frame_stats), 1), 3),
+                    "parallax_thresh": thresh,
+                }
+            except Exception as e:
+                print(f"[bench] cadence arm {tag} failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "vo_frames_per_sec_1chip",
@@ -496,8 +601,16 @@ def main():
             # TPUs add ~2 RTTs of pure transport per streamed frame; subtract
             # to estimate on-board latency)
             "device_rtt_ms": rtt,
-            # relay-free on-device estimate (pipelined steps, one final fetch)
+            # relay-free on-device estimate of the STREAMING program
+            # (scan-amortized, mid-sequence window; see measure_stream_device)
             "stream_ms_device": dev_ms,
+            # dispatch-pipelined per-call walk over the same window (includes
+            # relay dispatch jitter — the rounds-3/4 methodology)
+            "stream_ms_loop": loop_ms,
+            "stream_window_kf_ratio": stream_kf,
+            "hint_engagement": engagement,
+            "stage_ms": stage_ms,
+            "cadence_fps": cadence,
             "ba_lm_iters_per_sec": ba_iters,
             "image": "376x1241 synthetic (kitti00 intrinsics)",
         },

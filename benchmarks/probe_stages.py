@@ -36,12 +36,14 @@ def timed(fn, *args, reps=3):
     return float(np.median(ts))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=64, help="scan length per probe")
-    ap.add_argument("--stages", default="lk,lk_hint,ba,detect,bm,pnp,pyramid")
-    args = ap.parse_args()
-    stages = set(args.stages.split(","))
+def probe_stage_timings(k=64, stages="lk,lk_hint,ba,detect,bm,pnp,pyramid",
+                        cfg=None):
+    """Scan-amortized ms/invocation for each pipeline stage; returns a dict.
+
+    Importable (bench.py embeds the result in BENCH details so throughput
+    claims carry auditable per-stage receipts); ``main`` wraps it for CLI use.
+    """
+    stages = set(stages.split(",")) if isinstance(stages, str) else set(stages)
 
     from stereo_vo_tpu.utils.cache import setup_compilation_cache
 
@@ -54,7 +56,8 @@ def main():
     from stereo_vo_tpu.core.config import load_config
     from stereo_vo_tpu.data.synthetic import SyntheticStereoSequence
 
-    cfg = load_config("kitti00")
+    if cfg is None:
+        cfg = load_config("kitti00")
     fe = cfg.frontend
     world = SyntheticStereoSequence(
         cam=cfg.camera, n_frames=4, shape=(376, 1241), n_points=4000,
@@ -64,7 +67,6 @@ def main():
     img0 = jnp.asarray(frames[0].left, jnp.float32)
     img1 = jnp.asarray(frames[1].left, jnp.float32)
     right1 = jnp.asarray(frames[1].right, jnp.float32)
-    k = args.k
 
     def scan_ms(body, init_xs):
         """Time `lax.scan(body, 0, xs)` with K steps; return ms per step."""
@@ -233,7 +235,16 @@ def main():
                 jnp.arange(k, dtype=jnp.float32))
         )
 
-    print("stage timings (ms/invocation, scan-amortized x%d):" % k)
+    return {name: round(ms, 3) for name, ms in results.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=64, help="scan length per probe")
+    ap.add_argument("--stages", default="lk,lk_hint,ba,detect,bm,pnp,pyramid")
+    args = ap.parse_args()
+    results = probe_stage_timings(k=args.k, stages=args.stages)
+    print("stage timings (ms/invocation, scan-amortized x%d):" % args.k)
     for name, ms in results.items():
         print(f"  {name:28s} {ms:8.3f}")
 

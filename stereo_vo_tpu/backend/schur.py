@@ -254,10 +254,17 @@ def bundle_adjust(
     re-publishes only the newest pose; see ``engine``).
     """
     prob = window_to_landmark_major(window)
-    poses, lm_pos, cost0, cost, accepted, last_rel = lm_loop(
-        prob, cam, cfg, axis=None
+    init_lam = (
+        window.ba_lam
+        if window.ba_lam is not None and getattr(cfg, "lam_warm_start", True)
+        else None
+    )
+    poses, lm_pos, cost0, cost, accepted, last_rel, lam = lm_loop(
+        prob, cam, cfg, axis=None, init_lam=init_lam
     )
     new_window = window._replace(poses=poses, lm_pos=lm_pos)
+    if window.ba_lam is not None:
+        new_window = new_window._replace(ba_lam=lam.astype(window.ba_lam.dtype))
     stats = BASolveStats(
         initial_cost=cost0,
         final_cost=cost,
@@ -597,10 +604,12 @@ def lm_major_step(poses, lm_pos, lam, prob: LandmarkMajorProblem, cam, cfg, axis
     return _solve_from_system(sys, poses, lm_pos, lam, cfg, axis)
 
 
-def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
+def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis, init_lam=None):
     """Full LM accept/reject loop; shard-safe (all branches replicated).
 
-    Returns ``(poses, lm_pos, initial_cost, final_cost, accepted, last_rel)``.
+    Returns ``(poses, lm_pos, initial_cost, final_cost, accepted, last_rel,
+    final_lam)``. ``init_lam`` (traced scalar) overrides ``cfg.init_damping``
+    — the λ warm start carried across consecutive window solves.
 
     The Ceres cost structure: residuals/Jacobians are evaluated once per
     ACCEPTED iterate (``_build_system``, carried across iterations); a
@@ -690,11 +699,18 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
     # multiply by ones_like(cost0) so scalars carry the same varying-manual-axes
     # metadata as the cost under shard_map (while carry types must match)
     ones = jnp.ones_like(cost0)
+    lam0 = (
+        jnp.asarray(cfg.init_damping, poses0.dtype)
+        if init_lam is None
+        else jnp.clip(
+            jnp.asarray(init_lam, poses0.dtype), cfg.min_damping, cfg.max_damping
+        )
+    )
     init = (
         poses0,
         lm0,
         sys0,
-        jnp.asarray(cfg.init_damping, poses0.dtype) * ones,
+        lam0 * ones,
          2.0 * ones,
         cost0,
         jnp.zeros_like(cost0).astype(jnp.int32),
@@ -702,7 +718,7 @@ def lm_loop(prob: LandmarkMajorProblem, cam, cfg, axis):
         jnp.zeros_like(cost0),
         jnp.zeros_like(cost0).astype(bool),
     )
-    poses, lm_pos, _, _, _, cost, accepted, _, last_rel, _ = jax.lax.while_loop(
+    poses, lm_pos, _, lam, _, cost, accepted, _, last_rel, _ = jax.lax.while_loop(
         cond, body2, init
     )
-    return poses, lm_pos, cost0, cost, accepted, last_rel
+    return poses, lm_pos, cost0, cost, accepted, last_rel, lam

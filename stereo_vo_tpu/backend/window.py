@@ -47,6 +47,12 @@ class WindowState(NamedTuple):
     lm_prior: jnp.ndarray     # [L, 3] float
     lm_prior_w: jnp.ndarray   # [L] float (1/sigma^2; 0 = no prior)
     num_kf: jnp.ndarray       # [] int32, total keyframes ever added
+    # [] float — LM damping λ carried across solves (warm start): consecutive
+    # window problems share all but one keyframe, so the damping regime that
+    # worked last solve is the right opening bid, skipping the reject ramp
+    # that a fixed init_damping pays each keyframe. None = no carried λ
+    # (cfg.init_damping used; the field stays None for hand-built windows).
+    ba_lam: jnp.ndarray = None
 
     @property
     def window_size(self) -> int:
@@ -75,6 +81,7 @@ def empty_window(cfg: BackendConfig, dtype=jnp.float32) -> WindowState:
         lm_prior=jnp.zeros((l, 3), dtype),
         lm_prior_w=jnp.zeros((l,), dtype),
         num_kf=jnp.array(0, jnp.int32),
+        ba_lam=jnp.array(cfg.init_damping, dtype),
     )
 
 

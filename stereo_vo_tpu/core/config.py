@@ -133,6 +133,11 @@ class BackendConfig:
     init_damping: float = 1e-4
     min_damping: float = 1e-6
     max_damping: float = 1e8
+    # Carry the final LM damping λ across consecutive window solves (the
+    # problems share all but one keyframe, so last solve's damping regime is
+    # the right opening bid — skips the accept/reject ramp a fixed
+    # init_damping replays every keyframe). False = Ceres-like fixed init.
+    lam_warm_start: bool = True
     min_depth: float = 1e-3        # cheirality guard for residual masking
     # Stereo-triangulation landmark prior: anchors the scale mode the
     # reference's monocular-factor BA leaves free (deliberate accuracy fix;

@@ -69,6 +69,7 @@ class StepOutput(NamedTuple):
     ba_initial_cost: jnp.ndarray
     ba_final_cost: jnp.ndarray
     ba_iterations: jnp.ndarray
+    hinted: jnp.ndarray        # this step ran the flow-hinted short-pyramid LK
     # tracker snapshot for the /feature_tracking debug drawing
     track_from: jnp.ndarray    # [F, 2]
     track_to: jnp.ndarray      # [F, 2]
@@ -92,6 +93,7 @@ class StepOutput(NamedTuple):
                 self.ba_initial_cost,
                 self.ba_final_cost,
                 self.ba_iterations.astype(jnp.float32),
+                self.hinted.astype(jnp.float32),
             ]
         )
         return jnp.concatenate([self.pose_cw, scalars])
@@ -99,7 +101,7 @@ class StepOutput(NamedTuple):
 SUMMARY_KEYS = (
     "is_keyframe", "pnp_ok", "num_detected", "num_tracked", "num_inliers",
     "num_new_landmarks", "av_parallax", "percent_lost", "ba_initial_cost",
-    "ba_final_cost", "ba_iterations",
+    "ba_final_cost", "ba_iterations", "hinted",
 )
 
 
@@ -113,7 +115,7 @@ def parse_summary(vec) -> dict:
     row = {}
     for i, k in enumerate(SUMMARY_KEYS):
         v = float(s[i])
-        if k in ("is_keyframe", "pnp_ok"):
+        if k in ("is_keyframe", "pnp_ok", "hinted"):
             row[k] = bool(v)
         elif k.startswith("num_") or k == "ba_iterations":
             row[k] = int(v)
@@ -286,6 +288,7 @@ class VOEngine:
             ba_initial_cost=zf,
             ba_final_cost=zf,
             ba_iterations=zero,
+            hinted=jnp.array(False),
             track_from=new_state.tracker.init_xy,
             track_to=new_state.tracker.feat_xy,
             track_valid=new_state.tracker.feat_valid,
@@ -519,6 +522,7 @@ class VOEngine:
             ba_initial_cost=ba_c0,
             ba_final_cost=ba_c1,
             ba_iterations=ba_iters,
+            hinted=has_det & stats.hinted,
             track_from=tr.init_xy,
             track_to=jnp.where(has_det, tracked.feat_xy, tr.feat_xy),
             track_valid=jnp.where(was_kf, tracked.feat_valid & res.inliers,

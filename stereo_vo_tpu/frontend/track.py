@@ -70,6 +70,10 @@ class TrackStats(NamedTuple):
     av_parallax: jnp.ndarray   # [] float
     percent_lost: jnp.ndarray  # [] float
     num_tracked: jnp.ndarray   # [] int32
+    # [] bool — whether THIS step ran the flow-hinted short-pyramid LK path
+    # (the throughput mechanism's engagement signal, surfaced per-frame so
+    # replays report engagement % with zero extra measurement)
+    hinted: jnp.ndarray
 
 
 def tracker_init(
@@ -207,6 +211,10 @@ def track_step(
         flow_valid=ok,
         pred_err=pred_err,
     )
+    hinted = (
+        state.pred_err < hint_thresh if use_hint_path else jnp.array(False)
+    )
     return new_state, TrackStats(
-        av_parallax=av_parallax, percent_lost=percent_lost, num_tracked=kept
+        av_parallax=av_parallax, percent_lost=percent_lost, num_tracked=kept,
+        hinted=hinted,
     )

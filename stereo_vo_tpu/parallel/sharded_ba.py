@@ -89,7 +89,7 @@ def sharded_lm_solve(
         out_specs=(repl, lm_sharded, repl, repl),
     )
     def solve(p):
-        poses, lm_pos, c0, c1, _, _ = lm_loop(p, cam, cfg, lm_axis)
+        poses, lm_pos, c0, c1, _, _, _ = lm_loop(p, cam, cfg, lm_axis)
         return poses, lm_pos, c0, c1
 
     return solve(prob)
@@ -128,7 +128,7 @@ def dp_sharded_bundle_adjust(
     )
     def solve(p):
         def one(pp):
-            poses, lm_pos, c0, c1, _, _ = lm_loop(pp, cam, cfg, lm_axis)
+            poses, lm_pos, c0, c1, _, _, _ = lm_loop(pp, cam, cfg, lm_axis)
             return poses, lm_pos, c0, c1
 
         return jax.vmap(one)(p)

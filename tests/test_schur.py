@@ -238,7 +238,7 @@ def test_big_window_converges_to_ground_truth():
     w, lcap = 32, 16384
     prob, cam, poses_gt, lm_gt = _big_lm_problem(w, lcap)
     cfg = BackendConfig(window_size=w, landmark_capacity=lcap, max_lm_iters=10)
-    poses, lm_pos, c0, c1, accepted, _ = jax.jit(
+    poses, lm_pos, c0, c1, accepted, _, _ = jax.jit(
         lambda p: lm_loop(p, cam, cfg, None)
     )(prob)
     poses, lm_pos = np.asarray(poses), np.asarray(lm_pos)
