@@ -96,7 +96,19 @@ class FrontendConfig:
     lk_hint_pred_err_px: float = 8.0
     lk_hint_levels: int = 2
     pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
-    pnp_refine_iters: int = 10     # GN refinement on inliers
+    pnp_refine_iters: int = 4      # GN iterations per LO-RANSAC round
+    # PnP inner-loop budgets. PnP is a chain of serial damped-GN iterations
+    # (~27 us each on TPU — latency-, not FLOP-bound), so these counts ARE
+    # the PnP cost model: hypothesis polish (per minimal sample), warm-start
+    # trim rounds x iterations, and LO-RANSAC rounds (each running
+    # pnp_refine_iters of GN then recounting inliers). Defaults measured on
+    # the 6-seed photo-world sweep (round 5): polish 2 / warm 2x2 / LO 3x4
+    # matches the old 3 / 3x2 / 3x10 budget's ATE (ratio-vs-twin 0.643 vs
+    # 0.638) at 1.27 ms vs 1.89 ms per keyframe.
+    pnp_hyp_polish_iters: int = 2
+    pnp_warm_rounds: int = 2
+    pnp_warm_iters: int = 2
+    pnp_lo_rounds: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -169,23 +169,25 @@ class VOEngine:
         inside the sequential scan, and XLA can schedule the entire batch
         without the scan's carry dependency.
         """
-        from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks
+        from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks, min_eig_response
 
         cfg = self.config
         lefts_f = lefts.astype(jnp.float32)
         pyrs = build_pyramid(lefts_f, cfg.frontend.lk_max_level)  # [K, h, w] each
+        resps = min_eig_response(lefts_f, cfg.frontend.detect_block_size)
         n_peaks = count_quality_peaks(
-            lefts_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size
+            lefts_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size,
+            resp=resps,
         )                                                          # [K]
 
         def body(st, xs):
-            left, right, peaks = xs[0], xs[1], xs[2]
-            pyr = tuple(xs[3:])
-            st, out = self._step(st, left, right, precomp=(pyr, peaks))
+            left, right, peaks, resp = xs[0], xs[1], xs[2], xs[3]
+            pyr = tuple(xs[4:])
+            st, out = self._step(st, left, right, precomp=(pyr, peaks, resp))
             return st, (out.pose_cw, out.summary)
 
         state, (poses, summaries) = jax.lax.scan(
-            body, state, (lefts, rights, n_peaks, *pyrs)
+            body, state, (lefts, rights, n_peaks, resps, *pyrs)
         )
         return state, poses, summaries
 
@@ -296,7 +298,7 @@ class VOEngine:
         return new_state, out
 
     # ------------------------------------------------------------------
-    def _keyframe_work(self, left_f, right_f, pose, inliers, args):
+    def _keyframe_work(self, left_f, right_f, pose, inliers, args, resp=None):
         """Keyframe-branch body (``image_processor.cpp:95-162`` + BA).
 
         ``args`` is the small-state tuple; returns ``(new_args, (ba_c0, ba_c1,
@@ -306,7 +308,9 @@ class VOEngine:
         f_cap = cfg.backend.feature_capacity
         (window, pnp_pose, cur_pose, feat_xy, feat_ids, feat_valid,
          flow_xy, flow_valid) = args
-        det_xy, det_valid = detect_features(left_f, cfg.frontend)
+        # resp: the gate's structure-tensor response, shared so the keyframe
+        # branch skips rebuilding it (~1/3 of detection)
+        det_xy, det_valid = detect_features(left_f, cfg.frontend, resp=resp)
         # keyframe observations = PnP inliers only (image_processor.cpp:95-108)
         inlier_valid = feat_valid & inliers
         # dedup new detections vs inlier tracked (image_processor.cpp:113-128)
@@ -418,12 +422,16 @@ class VOEngine:
         from stereo_vo_tpu.ops.shi_tomasi import count_quality_peaks
 
         if precomp is None:
+            from stereo_vo_tpu.ops.shi_tomasi import min_eig_response
+
+            resp = min_eig_response(left_f, cfg.frontend.detect_block_size)
             n_peaks = count_quality_peaks(
-                left_f, cfg.frontend.quality_level, cfg.frontend.detect_block_size
+                left_f, cfg.frontend.quality_level,
+                cfg.frontend.detect_block_size, resp=resp,
             )
             pyr = tuple(build_pyramid(left_f, cfg.frontend.lk_max_level))
         else:
-            pyr, n_peaks = tuple(precomp[0]), precomp[1]
+            pyr, n_peaks, resp = tuple(precomp[0]), precomp[1], precomp[2]
         n_det = jnp.minimum(n_peaks, cfg.frontend.max_detect)
         has_det = n_peaks >= cfg.frontend.min_detected
 
@@ -460,7 +468,8 @@ class VOEngine:
         )
 
         def keyframe(args):
-            return self._keyframe_work(left_f, right_f, res.pose, res.inliers, args)
+            return self._keyframe_work(left_f, right_f, res.pose, res.inliers,
+                                       args, resp=resp)
 
         def non_keyframe(args):
             zf = jnp.array(0.0, jnp.float32)

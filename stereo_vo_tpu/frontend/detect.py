@@ -17,15 +17,19 @@ from stereo_vo_tpu.ops.shi_tomasi import detect_corners
 
 
 def detect_features(
-    img: jnp.ndarray, cfg: FrontendConfig
+    img: jnp.ndarray, cfg: FrontendConfig, resp: jnp.ndarray = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Detect up to ``cfg.max_detect`` corners; returns ``(xy [D, 2], valid [D])``."""
+    """Detect up to ``cfg.max_detect`` corners; returns ``(xy [D, 2], valid [D])``.
+
+    ``resp``: optional precomputed Shi-Tomasi response (the engine shares the
+    every-frame gate's structure tensor with this keyframe-branch call)."""
     xy, _, valid = detect_corners(
         img,
         max_corners=cfg.max_detect,
         quality_level=cfg.quality_level,
         min_distance=cfg.min_distance,
         block_size=cfg.detect_block_size,
+        resp=resp,
     )
     return xy, valid
 

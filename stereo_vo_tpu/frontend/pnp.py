@@ -352,7 +352,8 @@ def pnp_ransac(
         # minimal solver refines each sample with LM; DLT alone is too crude
         # under noise and loses inliers that a refined model would keep).
         # GN runs on just the k gathered points, not the full capacity array.
-        pose = _gn_refine(pose, p3[idx], uv[idx], jnp.ones(k, bool), cam, 3)
+        pose = _gn_refine(pose, p3[idx], uv[idx], jnp.ones(k, bool), cam,
+                          cfg.pnp_hyp_polish_iters)
         return pose, ok & jnp.all(jnp.isfinite(pose))
 
     keys = jax.random.split(key, n_hyp - 1)
@@ -365,9 +366,10 @@ def pnp_ransac(
     def trim_round(pose, _):
         e = _reproj_errors(pose, p3, uv, cam)
         w = valid & (e < 4.0 * cfg.pnp_reproj_thresh)
-        return _gn_refine(pose, p3, uv, w, cam, 2), None
+        return _gn_refine(pose, p3, uv, w, cam, cfg.pnp_warm_iters), None
 
-    warm, _ = jax.lax.scan(trim_round, prev_pose, None, length=3)
+    warm, _ = jax.lax.scan(trim_round, prev_pose, None,
+                           length=cfg.pnp_warm_rounds)
     warm_ok = jnp.all(jnp.isfinite(warm))
     warm = jnp.where(warm_ok, warm, prev_pose)
 
@@ -404,7 +406,7 @@ def pnp_ransac(
         ), None
 
     (final_pose, out_inl), _ = jax.lax.scan(
-        lo_round, (best_pose, best_inl), None, length=3
+        lo_round, (best_pose, best_inl), None, length=cfg.pnp_lo_rounds
     )
     out_n = jnp.sum(out_inl)
 

@@ -79,14 +79,17 @@ def _tiled_kernel(origins_ref, tiles_ref, out_ref, sems, *, nty, ntx, tx_max):
         issue(k).wait()
 
 
-def _extract_regions_tiled(img, origins, r, interpret=False):
-    """TPU fast path for single-channel stacks: tile DMA + one-hot lane crop."""
+def _extract_regions_tiled(img, origins, ry, rx, interpret=False):
+    """TPU fast path for single-channel stacks: tile DMA + one-hot lane crop.
+
+    ``ry`` rows x ``rx`` lanes per region (both multiples of 8; ``rx`` may
+    differ from ``ry`` — e.g. StereoBM's short-and-wide right search bands)."""
     n = origins.shape[0]
     hp, wp = img.shape
     hp_pad = _cdiv(hp, 8) * 8
     wp_pad = max(_cdiv(wp, 128) * 128, 128)
-    span = min(wp_pad, _cdiv(128 + r, 128) * 128)
-    nty, ntx = r // 8, span // 128
+    span = min(wp_pad, _cdiv(128 + rx, 128) * 128)
+    nty, ntx = ry // 8, span // 128
     img_p = jnp.pad(img, ((0, hp_pad - hp), (0, wp_pad - wp)))
     tiles = img_p.reshape(hp_pad // 8, 8, wp_pad // 128, 128).transpose(0, 2, 1, 3)
 
@@ -109,19 +112,19 @@ def _extract_regions_tiled(img, origins, r, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, nty, ntx, 8, 128), img.dtype),
         interpret=interpret,
     )(origins, tiles)
-    # [N, nty, ntx, 8, 128] -> [N, r, span]
-    bands = bands.transpose(0, 1, 3, 2, 4).reshape(n, r, span)
+    # [N, nty, ntx, 8, 128] -> [N, ry, span]
+    bands = bands.transpose(0, 1, 3, 2, 4).reshape(n, ry, span)
 
     band_start = jnp.clip((origins[:, 0] // 128), 0, wp_pad // 128 - ntx) * 128
     off = origins[:, 0] - band_start                            # [N]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 1)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, rx), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, rx), 1)
     onehot = (s_idx[None] == off[:, None, None] + j_idx[None]).astype(img.dtype)
     return jnp.einsum("nrs,nsj->nrj", bands, onehot,
                       preferred_element_type=jnp.float32)[:, None]
 
 
-def _vmem_kernel(origins_ref, img_ref, out_ref, *, r, span, wp_pad):
+def _vmem_kernel(origins_ref, img_ref, out_ref, *, ry, span, wp_pad):
     """Whole image resident in VMEM; per-feature region copy as aligned vector
     moves. Row origins are 8-aligned (vreg-row aligned) and the lane band is
     128-aligned (lane-tile aligned), so each copy is pure vreg traffic with no
@@ -134,17 +137,17 @@ def _vmem_kernel(origins_ref, img_ref, out_ref, *, r, span, wp_pad):
         oy = pl.multiple_of(origins_ref[n, 1], 8)
         bx = jnp.minimum((origins_ref[n, 0] // 128) * 128, wp_pad - span)
         bx = pl.multiple_of(jnp.maximum(bx, 0), 128)
-        out_ref[k] = img_ref[pl.ds(oy, r), pl.ds(bx, span)]
+        out_ref[k] = img_ref[pl.ds(oy, ry), pl.ds(bx, span)]
 
 
-def _extract_regions_vmem(img, origins, r, interpret=False):
+def _extract_regions_vmem(img, origins, ry, rx, interpret=False):
     """TPU fast path for single-channel stacks: VMEM-resident image + aligned
-    vector-copy extraction + one-hot lane crop."""
+    vector-copy extraction + one-hot lane crop. ``ry`` rows x ``rx`` lanes."""
     n = origins.shape[0]
     hp, wp = img.shape
     hp_pad = _cdiv(hp, 8) * 8
     wp_pad = max(_cdiv(wp, 128) * 128, 128)
-    span = min(wp_pad, _cdiv(128 + r, 128) * 128)
+    span = min(wp_pad, _cdiv(128 + rx, 128) * 128)
     img_p = jnp.pad(img, ((0, hp_pad - hp), (0, wp_pad - wp)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -157,22 +160,22 @@ def _extract_regions_vmem(img, origins, r, interpret=False):
             )
         ],
         out_specs=pl.BlockSpec(
-            (_FB, r, span),
+            (_FB, ry, span),
             lambda i, origins: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     bands = pl.pallas_call(
-        functools.partial(_vmem_kernel, r=r, span=span, wp_pad=wp_pad),
+        functools.partial(_vmem_kernel, ry=ry, span=span, wp_pad=wp_pad),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, r, span), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ry, span), img.dtype),
         interpret=interpret,
     )(origins, img_p)
 
     band_start = jnp.clip(origins[:, 0] // 128, 0, wp_pad // 128 - span // 128) * 128
     off = origins[:, 0] - band_start                            # [N]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, r), 1)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (span, rx), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (span, rx), 1)
     onehot = (s_idx[None] == off[:, None, None] + j_idx[None]).astype(img.dtype)
     return jnp.einsum("nrs,nsj->nrj", bands, onehot,
                       preferred_element_type=jnp.float32)[:, None]
@@ -190,13 +193,13 @@ def extract_regions(stack: jnp.ndarray, origins: jnp.ndarray, ry: int, rx: int):
         jax.default_backend() not in ("cpu",)
         and os.environ.get("STEREO_VO_NO_PALLAS", "0") != "1"
         and n % _FB == 0
-        and ry == rx
         and ry % 8 == 0
+        and rx % 8 == 0
         and c == 1
     )
     if use_pallas:
         # image must fit in VMEM next to double-buffered output blocks
         if (hp + 7) // 8 * 8 * max((wp + 127) // 128 * 128, 128) * 4 <= 6 * 2**20:
-            return _extract_regions_vmem(stack[0], origins, ry)
-        return _extract_regions_tiled(stack[0], origins, ry)
+            return _extract_regions_vmem(stack[0], origins, ry, rx)
+        return _extract_regions_tiled(stack[0], origins, ry, rx)
     return _extract_regions_vmap(stack, origins, ry, rx)

@@ -46,7 +46,7 @@ def min_eig_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
 
 def count_quality_peaks(
     img: jnp.ndarray, quality_level: float = 0.1, block_size: int = 3,
-    border: int = 3,
+    border: int = 3, resp: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Number of 3x3-local-max responses above the quality threshold.
 
@@ -55,9 +55,13 @@ def count_quality_peaks(
     NMS only ever *reduces* the count, and a frame with >= 4 quality peaks but
     < 4 NMS survivors is pathological, so full (expensive) suppression can be
     deferred to keyframe processing.
+
+    ``resp`` (optional): precomputed ``min_eig_response`` — the engine computes
+    it once per frame and shares it with the keyframe branch's full detection.
     """
     h, w = img.shape[-2:]
-    resp = min_eig_response(img, block_size)
+    if resp is None:
+        resp = min_eig_response(img, block_size)
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
@@ -80,8 +84,12 @@ def detect_corners(
     border: int = 3,
     nms: str = "greedy",
     candidates: int = 1024,
+    resp: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detect corners; returns ``(xy [K, 2] float32, response [K], valid [K])``.
+
+    ``resp``: optional precomputed ``min_eig_response`` (shared with the
+    every-frame gate — the structure-tensor build is ~1/3 of detection).
 
     ``border`` pixels at the image edge are excluded, mirroring OpenCV's
     implicit exclusion of the derivative border.
@@ -97,7 +105,8 @@ def detect_corners(
       of the greedy corner count.
     """
     h, w = img.shape
-    resp = min_eig_response(img, block_size)
+    if resp is None:
+        resp = min_eig_response(img, block_size)
 
     # exclude the border band
     ys = jnp.arange(h)[:, None]

@@ -34,7 +34,7 @@ def _inputs(rng, n, c, hp, wp, r):
 @pytest.mark.parametrize("hp,wp,r", [(384, 1256, 88), (96, 320, 48)])
 def test_vmem_variant_parity(rng, hp, wp, r):
     stack, origins = _inputs(rng, _FB * 2, 1, hp, wp, r)
-    got = _extract_regions_vmem(stack[0], origins, r, interpret=True)
+    got = _extract_regions_vmem(stack[0], origins, r, r, interpret=True)
     want = _extract_regions_vmap(stack, origins, r, r)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
@@ -42,6 +42,18 @@ def test_vmem_variant_parity(rng, hp, wp, r):
 def test_tiled_variant_parity(rng):
     hp, wp, r = 384, 1256, 88
     stack, origins = _inputs(rng, _FB, 1, hp, wp, r)
-    got = _extract_regions_tiled(stack[0], origins, r, interpret=True)
+    got = _extract_regions_tiled(stack[0], origins, r, r, interpret=True)
     want = _extract_regions_vmap(stack, origins, r, r)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_rect_region_parity(rng):
+    """ry != rx regions (StereoBM's short-wide search bands) match the
+    dynamic-slice reference for both Pallas variants."""
+    hp, wp, ry, rx = 384, 1256, 32, 80
+    stack, origins = _inputs(rng, _FB, 1, hp, wp, max(ry, rx))
+    got_v = _extract_regions_vmem(stack[0], origins, ry, rx, interpret=True)
+    got_t = _extract_regions_tiled(stack[0], origins, ry, rx, interpret=True)
+    want = _extract_regions_vmap(stack, origins, ry, rx)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want), atol=1e-4)
