@@ -133,8 +133,14 @@ class BackendConfig:
     max_lm_iters: int = 10
     # LM early-exit: stop after an accepted step improving cost by less than
     # this fraction (the jit analog of Ceres' function_tolerance; Ceres default
-    # 1e-6 with a 0.1 s wall budget, bundle_adjuster.cpp:9-11)
-    lm_rel_tol: float = 1e-5
+    # 1e-6 with a 0.1 s wall budget, bundle_adjuster.cpp:9-11). 1e-3 measured
+    # (round 5): production solves then exit in ~4-6 executed iterations
+    # instead of always burning the 10-cap, 247 -> 330 f/s end-to-end, with
+    # photo-world ATE unchanged over 6 seeds (ratio-vs-twin 0.636 vs 0.643 at
+    # 1e-5, and a TIGHTER worst seed) — sub-0.1% cost improvements are below
+    # the block-matching observation noise floor, so the late iterations were
+    # polishing noise. 1e-5 restores the conservative schedule.
+    lm_rel_tol: float = 1e-3
     # reduced-camera-solve precision controls (Ceres runs f64 DENSE_SCHUR,
     # bundle_adjuster.cpp:9; on TPU the f32 solve of big ill-conditioned
     # windows can lose accuracy):
