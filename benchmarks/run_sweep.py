@@ -53,6 +53,10 @@ def run_one(cfg, frames, gt, chunk, twin=False):
 
         poses_cv, stats_cv, dt = run_cv_twin(frames, cfg.camera, cfg.frontend)
         kf_cv = np.array([s["is_keyframe"] for s in stats_cv])
+        # trajectory twin: in-domain minEig=1e-4 (OpenCV default) — its ATE is
+        # the parity signal; fps baselines come from bench.measure_cpu_twin,
+        # which keeps the reference-exact arguments (see eval/cv_twin.py)
+        row["twin_policy"] = "trajectory(minEig=1e-4); fps not the baseline"
         row["twin_fps"] = round(len(frames) / dt, 2)
         if gt is not None and kf_cv.sum() >= 3:
             gt_arr = np.asarray(gt)[: len(poses_cv)]

@@ -194,8 +194,16 @@ def track_step(
         pred_err_now = jax.lax.dynamic_index_in_dim(
             desc, jnp.minimum(k90, perr.shape[0] - 1), keepdims=False
         )
-        n_prev = jnp.sum(state.feat_valid.astype(jnp.int32))
-        step_loss = 1.0 - kept.astype(jnp.float32) / jnp.maximum(n_prev, 1)
+        # loss among EXPERIENCED features only (those carrying a flow
+        # estimate): fresh detections routinely die in droves right after a
+        # keyframe re-init (weak corners failing the round-trip gate), and
+        # counting that attrition as hint failure forced a full-pyramid
+        # restart on ~half of keyframe steps. A hinted pass failing features
+        # that tracked fine last frame is the actual runaway-motion signal.
+        experienced = state.feat_valid & state.flow_valid
+        n_prev = jnp.sum(experienced.astype(jnp.int32))
+        kept_exp = jnp.sum((ok & experienced).astype(jnp.int32))
+        step_loss = 1.0 - kept_exp.astype(jnp.float32) / jnp.maximum(n_prev, 1)
         pred_err = jnp.where(
             (kept == 0) | (step_loss > 0.30), jnp.float32(_NO_FLOW),
             pred_err_now,
