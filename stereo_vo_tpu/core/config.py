@@ -95,6 +95,16 @@ class FrontendConfig:
     # pyramid. 0 disables hinting (OpenCV-exact initialization always).
     lk_hint_pred_err_px: float = 8.0
     lk_hint_levels: int = 2
+    # Live-slot compaction: when <= this many feature slots are valid, LK
+    # gathers them into a batch of exactly this width (multiple of 32, the
+    # extraction kernel's granule) and scatters results back; otherwise it
+    # runs at full capacity (a lax.cond picks per frame — no feature is ever
+    # dropped). Every LK cost scales with batch width (per-feature region
+    # DMA, selector matmuls, GN iteration), while the tracker's live count
+    # sits far below feature_capacity between keyframes (bench replay:
+    # p90 = 115 live of 448 slots), so tracking the ~3x-smaller live set
+    # is the single largest frame-time lever. 0 disables.
+    lk_compact_slots: int = 160
     pnp_sample_size: int = 6       # DLT minimal sample (TPU-native solver)
     pnp_refine_iters: int = 4      # GN iterations per LO-RANSAC round
     # PnP inner-loop budgets. PnP is a chain of serial damped-GN iterations

@@ -139,24 +139,63 @@ def track_step(
             # executes ONE branch per frame.
             hint = _flow_hint(state.feat_xy, state.flow_xy, state.flow_valid)
 
+        def run_lk(pts, val, hint_vec):
+            """Width-generic fused fwd/bwd LK (hinted short pyramid when the
+            prediction-error gate is open)."""
+            if not use_hint_path:
+                return lk_track_fwdbwd(prev_pyr, new_pyr, pts, val, **kwargs)
+
             def full(_):
-                return lk_track_fwdbwd(
-                    prev_pyr, new_pyr, state.feat_xy, state.feat_valid, **kwargs
-                )
+                return lk_track_fwdbwd(prev_pyr, new_pyr, pts, val, **kwargs)
 
             def hinted(_):
                 return lk_track_fwdbwd(
                     prev_pyr[:hint_levels], new_pyr[:hint_levels],
-                    state.feat_xy, state.feat_valid, init_flow=hint,
+                    pts, val, init_flow=hint_vec,
                     bwd_from_original=True, **kwargs
                 )
 
+            return jax.lax.cond(state.pred_err < hint_thresh, hinted, full, None)
+
+        # Live-slot compaction (config.lk_compact_slots): every LK cost —
+        # region DMA, selector matmuls, the GN loop — scales with batch
+        # width, and the live count sits far below capacity between
+        # keyframes. Gather the valid slots (stable valid-first order) into
+        # a fixed smaller batch, track there, scatter back. Per-feature
+        # results are batch-position-independent, so this is exact; a frame
+        # with more live features than slots takes the full-width branch.
+        f = state.feat_xy.shape[0]
+        k = getattr(cfg, "lk_compact_slots", 0)
+        k = (k // 32) * 32
+        if 0 < k < f:
+            def compacted(_):
+                idx = jnp.argsort(
+                    jnp.logical_not(state.feat_valid), stable=True
+                )[:k]
+                hint_c = None if hint is None else jnp.take(hint, idx, axis=0)
+                f_xy, f_ok, b_xy, b_ok = run_lk(
+                    jnp.take(state.feat_xy, idx, axis=0),
+                    jnp.take(state.feat_valid, idx, axis=0),
+                    hint_c,
+                )
+                no = jnp.zeros((f,), bool)
+                return (
+                    state.feat_xy.at[idx].set(f_xy),
+                    no.at[idx].set(f_ok),
+                    state.feat_xy.at[idx].set(b_xy),
+                    no.at[idx].set(b_ok),
+                )
+
+            def full_width(_):
+                return run_lk(state.feat_xy, state.feat_valid, hint)
+
+            live = jnp.sum(state.feat_valid.astype(jnp.int32))
             fwd_xy, fwd_ok, bwd_xy, bwd_ok = jax.lax.cond(
-                state.pred_err < hint_thresh, hinted, full, None
+                live <= k, compacted, full_width, None
             )
         else:
-            fwd_xy, fwd_ok, bwd_xy, bwd_ok = lk_track_fwdbwd(
-                prev_pyr, new_pyr, state.feat_xy, state.feat_valid, **kwargs
+            fwd_xy, fwd_ok, bwd_xy, bwd_ok = run_lk(
+                state.feat_xy, state.feat_valid, hint
             )
         roundtrip = jnp.linalg.norm(state.feat_xy - bwd_xy, axis=1)
         ok = fwd_ok & bwd_ok & (roundtrip < cfg.fb_thresh)

@@ -264,6 +264,70 @@ class TestTracker:
         assert int(stats_ok.num_tracked) > int(stats_bad.num_tracked)
         assert int(stats_ok.num_tracked) >= 0.5 * n
 
+    def test_live_slot_compaction_exact(self, rng):
+        """config.lk_compact_slots: tracking the gathered live set in a
+        smaller batch is exact — per-feature LK results are independent of
+        batch position — and a frame with more live features than slots
+        falls back to the full-width path (no feature is ever dropped)."""
+        import dataclasses
+
+        world = SyntheticStereoSequence(cam=CAM, n_frames=2, shape=(240, 320),
+                                        n_points=260, seed=7)
+        l0, _ = world.render(0)
+        l1, _ = world.render(1)
+        u0, v0, _, vis0 = world.projections(0)
+        sel = vis0 & (u0 > 30) & (u0 < 290) & (v0 > 30) & (v0 < 210)
+        f_cap = 256
+        pts = np.stack([u0[sel], v0[sel]], 1)
+        # replicate with deterministic jitter so the overflow case really
+        # exceeds the compaction width (the crop keeps only ~44 world points)
+        jit = np.random.RandomState(0).uniform(-4, 4, (5, len(pts), 2))
+        pts = np.concatenate([pts + j for j in jit]).astype(np.float32)
+        pts = pts.clip([31, 31], [289, 209])
+        p0 = build_pyramid(jnp.asarray(l0, jnp.float32), 3)
+        p1 = build_pyramid(jnp.asarray(l1, jnp.float32), 3)
+        cfg_on = dataclasses.replace(CFG, lk_compact_slots=64)
+        cfg_off = dataclasses.replace(CFG, lk_compact_slots=0)
+
+        def run(n_valid, cfg):
+            xy = np.zeros((f_cap, 2), np.float32)
+            n = min(len(pts), n_valid)
+            xy[:n] = pts[:n]
+            # interleave invalid slots among valid ones so compaction's
+            # gather actually reorders (valid slots are NOT a prefix);
+            # deterministic so both configs see the identical layout
+            perm = np.random.RandomState(n_valid).permutation(f_cap)
+            valid = (np.arange(f_cap) < n)[np.argsort(perm)]
+            xy = xy[np.argsort(perm)]
+            st = tracker_init(p0, jnp.asarray(xy),
+                              jnp.arange(f_cap, dtype=jnp.int32),
+                              jnp.asarray(valid))
+            return track_step(st, p1, cfg)
+
+        # engaged: 40 live <= 64 slots
+        st_c, stats_c = run(40, cfg_on)
+        st_f, stats_f = run(40, cfg_off)
+        assert int(stats_c.num_tracked) == int(stats_f.num_tracked) > 20
+        np.testing.assert_array_equal(
+            np.asarray(st_c.feat_valid), np.asarray(st_f.feat_valid))
+        keep = np.asarray(st_f.feat_valid)
+        np.testing.assert_allclose(
+            np.asarray(st_c.feat_xy)[keep], np.asarray(st_f.feat_xy)[keep],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(st_c.pred_err), float(st_f.pred_err), atol=1e-4)
+
+        # overflow: 200 live > 64 slots -> full-width branch, still all kept
+        st_c2, stats_c2 = run(200, cfg_on)
+        st_f2, stats_f2 = run(200, cfg_off)
+        assert int(stats_c2.num_tracked) == int(stats_f2.num_tracked) > 100
+        keep2 = np.asarray(st_f2.feat_valid)
+        np.testing.assert_allclose(
+            np.asarray(st_c2.feat_xy)[keep2],
+            np.asarray(st_f2.feat_xy)[keep2], atol=1e-5,
+        )
+
     def test_fb_gate_kills_occluded(self, rng):
         """A feature whose patch vanishes in the next image fails round-trip."""
         img0 = np.asarray(
