@@ -252,7 +252,61 @@ def bundle_adjust(
     Writes optimized poses *and* landmarks back into the window state — like
     Ceres, which optimizes parameter blocks in place (the reference then
     re-publishes only the newest pose; see ``engine``).
+
+    Live-landmark compaction (``cfg.ba_compact_landmarks``): every build and
+    iteration cost is linear in the landmark axis, while the live count sits
+    far below capacity. Gather the valid landmarks (stable valid-first) into
+    a problem of exactly that size, remap ``obs_lm`` through the inverse
+    permutation, solve, and scatter positions back — the same solve up to
+    f32 summation order (dead rows contribute exact zeros either way). A
+    window with more live landmarks takes the full-capacity branch.
     """
+    lcap = window.landmark_capacity
+    l_small = getattr(cfg, "ba_compact_landmarks", 0)
+    if 0 < l_small < lcap:
+        def compact(_):
+            order = jnp.argsort(
+                jnp.logical_not(window.lm_valid), stable=True
+            )[:l_small]
+            inv = jnp.zeros((lcap,), jnp.int32).at[order].set(
+                jnp.arange(l_small, dtype=jnp.int32)
+            )
+            # every VALID observation's landmark is live (window refcounts
+            # guarantee it), hence in the gathered set when live <= l_small;
+            # invalid observations are masked before their obs_lm is used
+            take = lambda a: jnp.take(a, order, axis=0)
+            wsmall = window._replace(
+                obs_lm=inv[window.obs_lm],
+                lm_pos=take(window.lm_pos),
+                lm_refcount=take(window.lm_refcount),
+                lm_valid=take(window.lm_valid),
+                lm_prior=take(window.lm_prior),
+                lm_prior_w=take(window.lm_prior_w),
+            )
+            wout, stats = _bundle_adjust_uncompacted(wsmall, cam, cfg, rel_tol)
+            merged = window._replace(
+                poses=wout.poses,
+                lm_pos=window.lm_pos.at[order].set(wout.lm_pos),
+            )
+            if window.ba_lam is not None:
+                merged = merged._replace(ba_lam=wout.ba_lam)
+            return merged, stats
+
+        def full(_):
+            return _bundle_adjust_uncompacted(window, cam, cfg, rel_tol)
+
+        live = jnp.sum(window.lm_valid.astype(jnp.int32))
+        return jax.lax.cond(live <= l_small, compact, full, None)
+    return _bundle_adjust_uncompacted(window, cam, cfg, rel_tol)
+
+
+def _bundle_adjust_uncompacted(
+    window: WindowState,
+    cam: CameraInfo,
+    cfg: BackendConfig,
+    rel_tol: float = 1e-6,
+) -> Tuple[WindowState, BASolveStats]:
+    """The solve at the window's full landmark capacity (see bundle_adjust)."""
     prob = window_to_landmark_major(window)
     init_lam = (
         window.ba_lam

@@ -62,6 +62,11 @@ class FrontendConfig:
     bm_prefilter_cap: int = 31
     bm_texture_threshold: int = 10
     bm_uniqueness_ratio: int = 15
+    # Live-slot compaction for the sparse BM call (see lk_compact_slots —
+    # same exact gather/scatter trick): the keyframe branch feeds
+    # max_detect + feature_capacity slots of which only the deduped new
+    # detections + tracked inliers (~240) are valid. 0 disables.
+    bm_compact_slots: int = 320
 
     # PnP-RANSAC (image_processor.cpp:76-80)
     pnp_iterations: int = 100
@@ -151,6 +156,15 @@ class BackendConfig:
     # the block-matching observation noise floor, so the late iterations were
     # polishing noise. 1e-5 restores the conservative schedule.
     lm_rel_tol: float = 1e-3
+    # Live-landmark compaction for the window solve (the landmark analog of
+    # FrontendConfig.lk_compact_slots): the BA build/iteration cost is linear
+    # in the landmark axis, but the live count sits far below
+    # landmark_capacity (bench replay: 116-291 live of 2048). When at most
+    # this many landmarks are valid, gather them (and remap obs_lm) into a
+    # problem of exactly this size, solve there, scatter positions back —
+    # mathematically the same solve (dead rows contribute zeros). A window
+    # with more live landmarks falls back to full capacity. 0 disables.
+    ba_compact_landmarks: int = 512
     # reduced-camera-solve precision controls (Ceres runs f64 DENSE_SCHUR,
     # bundle_adjuster.cpp:9; on TPU the f32 solve of big ill-conditioned
     # windows can lose accuracy):

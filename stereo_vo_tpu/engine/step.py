@@ -332,6 +332,7 @@ class VOEngine:
             prefilter_cap=cfg.frontend.bm_prefilter_cap,
             texture_threshold=cfg.frontend.bm_texture_threshold,
             uniqueness_ratio=cfg.frontend.bm_uniqueness_ratio,
+            compact_slots=getattr(cfg.frontend, "bm_compact_slots", 0),
         )
         disp_new, disp_trk = disp_cat[:n_det], disp_cat[n_det:]
         p3_new, tri_valid = triangulate_from_disparities(

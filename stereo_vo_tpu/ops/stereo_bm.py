@@ -118,6 +118,7 @@ def stereo_bm_at(
     prefilter_cap: int = 31,
     texture_threshold: int = 10,
     uniqueness_ratio: int = 15,
+    compact_slots: int = 0,
 ) -> jnp.ndarray:
     """StereoBM disparity evaluated ONLY at feature pixels — bit-equal to
     ``disparity_at(stereo_bm_disparity(left, right), xy)``.
@@ -132,8 +133,58 @@ def stereo_bm_at(
     sums are all exact; argmin tie-breaks (first minimum) match the dense
     ``jnp.argmin`` over ascending d.
 
+    ``compact_slots`` (multiple of 32): when >0 and fewer than that many
+    inputs are valid, gather the valid slots into a batch of exactly that
+    width, match there, and scatter back (-1 elsewhere) — per-feature
+    results are batch-position independent, so this is exact; more valid
+    inputs than slots falls back to the full-width path. The production
+    caller feeds ~240 valid of 748 slots (new detections + tracked inliers
+    padded to capacity), so BM cost follows the live set, not the padding.
+
     Returns ``[N]`` float32 disparity, -1 where invalid.
     """
+    n_in = xy.shape[0]
+    k = (compact_slots // 32) * 32
+    if 0 < k < n_in:
+        kw = dict(
+            num_disparities=num_disparities, block_size=block_size,
+            prefilter_cap=prefilter_cap, texture_threshold=texture_threshold,
+            uniqueness_ratio=uniqueness_ratio,
+        )
+
+        def compacted(_):
+            idx = jnp.argsort(jnp.logical_not(valid), stable=True)[:k]
+            disp_c = _stereo_bm_at_full(
+                left, right, jnp.take(xy, idx, axis=0),
+                jnp.take(valid, idx, axis=0), **kw,
+            )
+            return jnp.full((n_in,), -1.0, jnp.float32).at[idx].set(disp_c)
+
+        def full(_):
+            return _stereo_bm_at_full(left, right, xy, valid, **kw)
+
+        live = jnp.sum(valid.astype(jnp.int32))
+        return jax.lax.cond(live <= k, compacted, full, None)
+    return _stereo_bm_at_full(
+        left, right, xy, valid,
+        num_disparities=num_disparities, block_size=block_size,
+        prefilter_cap=prefilter_cap, texture_threshold=texture_threshold,
+        uniqueness_ratio=uniqueness_ratio,
+    )
+
+
+def _stereo_bm_at_full(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_disparities: int = 48,
+    block_size: int = 21,
+    prefilter_cap: int = 31,
+    texture_threshold: int = 10,
+    uniqueness_ratio: int = 15,
+) -> jnp.ndarray:
+    """Full-width per-feature BM (see ``stereo_bm_at``)."""
     from stereo_vo_tpu.ops.lk import _soft_selector
 
     h, w = left.shape

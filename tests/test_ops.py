@@ -128,6 +128,50 @@ def test_stereo_bm_ground_truth(world, images):
     assert np.median(np.abs(sampled[ok] - d_gt[sel][ok])) < 0.5
 
 
+def test_stereo_bm_at_matches_dense_and_compacts(world, images):
+    """``stereo_bm_at`` == dense disparity sampled at feature pixels, with
+    and without live-slot compaction (gather/scatter is exact; overflow
+    falls back to full width)."""
+    from stereo_vo_tpu.ops.stereo_bm import stereo_bm_at
+
+    l0, r0, _ = images
+    lj, rj = jnp.asarray(l0), jnp.asarray(r0)
+    dense = stereo_bm_disparity(lj, rj)
+    u, v, _, vis = world.projections(0)
+    sel = vis & (u > 70) & (u < 310) & (v > 11) & (v < 229)
+    pts = np.stack([u[sel], v[sel]], 1).astype(np.float32)
+    n_cap = 128
+    xy = np.zeros((n_cap, 2), np.float32)
+    n = min(len(pts), n_cap)
+    xy[:n] = pts[:n]
+    # scatter the valid slots around so compaction actually reorders
+    perm = np.random.RandomState(1).permutation(n_cap)
+    valid = (np.arange(n_cap) < n)[np.argsort(perm)]
+    xy = xy[np.argsort(perm)]
+
+    ref = np.asarray(disparity_at(dense, jnp.asarray(xy)))
+    ref = np.where(valid, ref, -1.0)
+
+    full = np.asarray(stereo_bm_at(lj, rj, jnp.asarray(xy), jnp.asarray(valid)))
+    np.testing.assert_allclose(full[valid], ref[valid], atol=1e-4)
+    assert np.all(full[~valid] == -1.0)
+
+    # compaction engaged (n valid <= 64 after trimming) and exact
+    valid_small = valid.copy()
+    valid_small[np.cumsum(valid) > 40] = False
+    comp = np.asarray(stereo_bm_at(
+        lj, rj, jnp.asarray(xy), jnp.asarray(valid_small), compact_slots=64))
+    base = np.asarray(stereo_bm_at(
+        lj, rj, jnp.asarray(xy), jnp.asarray(valid_small)))
+    np.testing.assert_allclose(comp, base, atol=1e-5)
+    assert np.all(comp[~valid_small] == -1.0)
+
+    # overflow: more valid than slots -> full-width fallback, same answer
+    comp_of = np.asarray(stereo_bm_at(
+        lj, rj, jnp.asarray(xy), jnp.asarray(valid), compact_slots=32))
+    np.testing.assert_allclose(comp_of, full, atol=1e-5)
+
+
 # ---------------------------------------------------------------- LK
 def test_lk_exact_on_pure_translation(rng):
     img0 = cv2.GaussianBlur(

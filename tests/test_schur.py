@@ -180,6 +180,58 @@ def test_schur_step_equals_dense_normal_equations(rng):
         )
 
 
+def test_landmark_compaction_matches_full(rng):
+    """config.ba_compact_landmarks: solving the gathered live-landmark
+    problem equals the full-capacity solve (poses, landmarks, stats), with
+    live slots scattered across the table; overflow falls back."""
+    import dataclasses
+
+    # noise gives the solve a real cost floor: at ~zero final cost the
+    # accept/reject decisions sit at machine epsilon, where the compacted
+    # path's different f32 summation order can flip a marginal iteration
+    cfg, window_gt, _, _ = make_problem(rng, w=4, n_lm=40, l_cap=128,
+                                        noise_px=0.3)
+    window = perturb(window_gt, rng)
+    # scatter the live landmarks around the table (recycled ids are not a
+    # prefix in production): apply a permutation to the lm axis + remap obs
+    perm = np.random.RandomState(3).permutation(128)
+    inv = np.argsort(perm)
+    window = window._replace(
+        lm_pos=window.lm_pos[perm],
+        lm_refcount=window.lm_refcount[perm],
+        lm_valid=window.lm_valid[perm],
+        lm_prior=window.lm_prior[perm],
+        lm_prior_w=window.lm_prior_w[perm],
+        obs_lm=jnp.asarray(inv)[window.obs_lm],
+    )
+    cfg_on = dataclasses.replace(cfg, ba_compact_landmarks=64)
+    cfg_off = dataclasses.replace(cfg, ba_compact_landmarks=0)
+    solved_c, stats_c = bundle_adjust(window, CAM, cfg_on)
+    solved_f, stats_f = bundle_adjust(window, CAM, cfg_off)
+    # f32 summation-order differences accumulate over the LM iterations;
+    # tolerances are far below any physically meaningful difference
+    assert abs(int(stats_c.iterations) - int(stats_f.iterations)) <= 1
+    np.testing.assert_allclose(
+        float(stats_c.final_cost), float(stats_f.final_cost), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(solved_c.poses), np.asarray(solved_f.poses), atol=1e-3)
+    live = np.asarray(window.lm_valid)
+    np.testing.assert_allclose(
+        np.asarray(solved_c.lm_pos)[live], np.asarray(solved_f.lm_pos)[live],
+        atol=1e-2,
+    )
+    # dead slots keep their original values
+    np.testing.assert_array_equal(
+        np.asarray(solved_c.lm_pos)[~live], np.asarray(window.lm_pos)[~live])
+
+    # overflow: 40 live > 32 slots -> full-capacity branch (same math; the
+    # cond wrapper changes XLA fusion choices, hence the f32-level tolerance)
+    cfg_small = dataclasses.replace(cfg, ba_compact_landmarks=32)
+    solved_o, stats_o = bundle_adjust(window, CAM, cfg_small)
+    np.testing.assert_allclose(
+        np.asarray(solved_o.poses), np.asarray(solved_f.poses), atol=1e-3)
+
+
 def test_invalid_window_is_noop():
     cfg = BackendConfig(window_size=3, max_features=8, feature_capacity=8,
                         landmark_capacity=16, max_lm_iters=3)
