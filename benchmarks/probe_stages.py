@@ -127,6 +127,29 @@ def probe_stage_timings(k=64, stages="lk,lk_hint,ba,detect,bm,pnp,pyramid",
                 jnp.arange(k, dtype=jnp.float32) * 1e-4)
         )
 
+    # ---- LK at the PRODUCTION width (live-slot compaction engaged): the
+    # tracker gathers the live set into a lk_compact_slots-wide batch, so the
+    # in-situ per-frame LK cost is this probe, not the full-capacity ones
+    kc = getattr(fe, "lk_compact_slots", 0)
+    if "lk_hint" in stages and 0 < kc < f_cap:
+        pts_c = pts[:kc]
+        val_c = val[:kc]
+        n_act_c = int(jax.device_get(jnp.sum(val_c.astype(jnp.int32))))
+        hint_c = jnp.zeros((kc, 2), jnp.float32)
+
+        def body(c, x):
+            out = lk_track_fwdbwd(
+                list(pyr0)[: fe.lk_hint_levels], list(pyr1)[: fe.lk_hint_levels],
+                pts_c + x, val_c, init_flow=hint_c, bwd_from_original=True,
+                **lk_kwargs
+            )
+            return c + jnp.sum(out[0]) * 1e-9, None
+
+        results[f"lk_hint{fe.lk_hint_levels}_{kc}slots_{n_act_c}live"] = scan_ms(
+            body, jnp.zeros((k, 1, 2), jnp.float32).at[:, 0, 0].set(
+                jnp.arange(k, dtype=jnp.float32) * 1e-4)
+        )
+
     # ---- BA: production-shaped lm_loop (W x Lcap, warm + cold inits) ------
     if "ba" in stages:
         from stereo_vo_tpu.backend.schur import LandmarkMajorProblem, lm_loop
@@ -176,6 +199,35 @@ def probe_stage_timings(k=64, stages="lk,lk_hint,ba,detect,bm,pnp,pyramid",
             body, jnp.arange(k, dtype=jnp.float32)[:, None, None] * 1e-6
         )
 
+        # production path: live-landmark compaction gathers the valid set
+        # into a ba_compact_landmarks-row problem (bench replay: 116-291
+        # live), so the in-situ keyframe BA cost is this shape
+        lc = getattr(be, "ba_compact_landmarks", 0)
+        if 0 < lc < lcap:
+            n_live_c = min(n_live, 300)
+            tr = lambda a, n: a[:n]
+            prob_c = LandmarkMajorProblem(
+                poses=prob.poses,
+                pose_valid=prob.pose_valid,
+                lm_pos=tr(prob.lm_pos, lc),
+                lm_valid=jnp.asarray(np.arange(lc) < n_live_c),
+                obs_uv=tr(prob.obs_uv, lc),
+                obs_valid=jnp.asarray(
+                    np.broadcast_to(np.arange(lc)[:, None] < n_live_c, (lc, w))
+                ),
+                lm_prior=tr(prob.lm_prior, lc),
+                lm_prior_w=tr(prob.lm_prior_w, lc),
+            )
+
+            def body_c(c, x):
+                p = prob_c._replace(lm_pos=prob_c.lm_pos + x)
+                out = lm_loop(p, cam, be, None)
+                return c + out[3] * 1e-9, None
+
+            results[f"ba_solve_cold_c{lc}x{n_live_c}live"] = scan_ms(
+                body_c, jnp.arange(k, dtype=jnp.float32)[:, None, None] * 1e-6
+            )
+
     # ---- detection (full NMS, keyframe branch) -----------------------------
     if "detect" in stages:
         def body(c, x):
@@ -204,6 +256,31 @@ def probe_stage_timings(k=64, stages="lk,lk_hint,ba,detect,bm,pnp,pyramid",
         results[f"stereo_bm_{2 * f_cap}pts"] = scan_ms(
             body, jnp.arange(k, dtype=jnp.float32) * 1e-6
         )
+
+        # production path: live-slot compaction engaged (the keyframe branch
+        # feeds ~240 valid of max_detect+feature_capacity slots)
+        kb = getattr(fe, "bm_compact_slots", 0)
+        if kb > 0:
+            n_bm_valid = min(n_act, kb - 32)
+            cat_ok_c = jnp.zeros_like(cat_ok).at[:n_bm_valid].set(
+                val[:n_bm_valid]
+            )
+
+            def body_c(c, x):
+                d = stereo_bm_at(
+                    img1 + x, right1, cat_xy, cat_ok_c,
+                    num_disparities=fe.bm_num_disparities,
+                    block_size=fe.bm_block_size,
+                    prefilter_cap=fe.bm_prefilter_cap,
+                    texture_threshold=fe.bm_texture_threshold,
+                    uniqueness_ratio=fe.bm_uniqueness_ratio,
+                    compact_slots=kb,
+                )
+                return c + jnp.sum(d) * 1e-9, None
+
+            results[f"stereo_bm_c{kb}slots"] = scan_ms(
+                body_c, jnp.arange(k, dtype=jnp.float32) * 1e-6
+            )
 
     # ---- PnP-RANSAC ---------------------------------------------------------
     if "pnp" in stages:
